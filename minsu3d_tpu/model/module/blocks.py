@@ -1,0 +1,235 @@
+"""NN building blocks (flax.linen) over sparse grid plans.
+
+Structural parity with reference minsu3d/model/module/{common.py,backbone.py,
+tiny_unet.py}: pre-activation residual blocks, the recursive 7-level UBlock
+(k2s2 down / transposed up / skip concat), TinyUnet, and the Backbone with
+semantic + offset point heads. Convolutions and batch norms are masked,
+fixed-capacity equivalents of the MinkowskiEngine ops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from minsu3d_tpu.ops import sparse_conv
+from minsu3d_tpu.ops.sparse import GridPlan, Level
+
+
+def _conv_init(kernel_volume: int, fan_in: int):
+    """Kaiming-uniform over kernel_volume*fan_in (ME conv init convention)."""
+    bound = (6.0 / (kernel_volume * fan_in)) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows only (ME.MinkowskiBatchNorm / nn.BatchNorm1d
+    semantics: torch defaults momentum=0.1, eps=1e-5, biased batch variance)."""
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if train:
+            m = mask[:, None].astype(x.dtype)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=0) / cnt
+            var = jnp.sum((x - mean) ** 2 * m, axis=0) / cnt
+            if not self.is_initializing():
+                # torch running stats use the unbiased batch variance
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[:, None], y, 0).astype(x.dtype)
+
+
+class SubmConv(nn.Module):
+    """3^3 stride-1 sparse conv (ME.MinkowskiConvolution k3 s1)."""
+
+    in_features: int
+    out_features: int
+    compute_dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, level: Level) -> jax.Array:
+        w = self.param("kernel", _conv_init(27, self.in_features),
+                       (27, self.in_features, self.out_features))
+        return sparse_conv.subm_conv(x, level, w, self.compute_dtype)
+
+
+class Conv1x1(nn.Module):
+    """1^3 sparse conv = per-voxel linear map (no bias, as ME convs)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("kernel", _conv_init(1, self.in_features),
+                       (self.in_features, self.out_features))
+        return (x @ w).astype(x.dtype)
+
+
+class DownConv(nn.Module):
+    """k2s2 strided conv to the next level (ME.MinkowskiConvolution k2 s2)."""
+
+    in_features: int
+    out_features: int
+    compute_dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, child: Level, parent_cap: int) -> jax.Array:
+        w = self.param("kernel", _conv_init(8, self.in_features),
+                       (8, self.in_features, self.out_features))
+        return sparse_conv.down_conv(x, child, parent_cap, w, self.compute_dtype)
+
+
+class UpConv(nn.Module):
+    """k2s2 transposed conv back to the child level (ME ConvTranspose k2 s2)."""
+
+    in_features: int
+    out_features: int
+    compute_dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, child: Level) -> jax.Array:
+        w = self.param("kernel", _conv_init(8, self.in_features),
+                       (8, self.in_features, self.out_features))
+        return sparse_conv.up_conv(x, child, w, self.compute_dtype)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-activation residual block (reference common.py:22-48)."""
+
+    in_features: int
+    out_features: int
+    compute_dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, level: Level, train: bool) -> jax.Array:
+        identity = x
+        if self.in_features != self.out_features:
+            identity = Conv1x1(self.in_features, self.out_features, name="downsample")(x)
+        y = MaskedBatchNorm(self.in_features)(x, level.valid, train)
+        y = nn.relu(y)
+        y = SubmConv(self.in_features, self.out_features, self.compute_dtype)(y, level)
+        y = MaskedBatchNorm(self.out_features)(y, level.valid, train)
+        y = nn.relu(y)
+        y = SubmConv(self.out_features, self.out_features, self.compute_dtype)(y, level)
+        return y + identity
+
+
+class UBlock(nn.Module):
+    """Recursive U-Net block (reference common.py:51-95).
+
+    ``planes[0]`` is this level's width; deeper entries recurse. The grid plan
+    supplies per-level kernel maps; ``depth`` indexes into plan.levels.
+    """
+
+    planes: Sequence[int]
+    block_reps: int = 2
+    compute_dtype: str | None = None
+    depth: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, plan: GridPlan, train: bool) -> jax.Array:
+        level = plan.levels[self.depth]
+        p0 = self.planes[0]
+        for i in range(self.block_reps):
+            x = ResidualBlock(p0, p0, self.compute_dtype, name=f"block{i}")(x, level, train)
+        identity = x
+
+        if len(self.planes) > 1:
+            p1 = self.planes[1]
+            parent = plan.levels[self.depth + 1]
+            y = MaskedBatchNorm(p0, name="conv_bn")(x, level.valid, train)
+            y = nn.relu(y)
+            y = DownConv(p0, p1, self.compute_dtype, name="conv")(y, level, parent.cap)
+            y = UBlock(self.planes[1:], self.block_reps, self.compute_dtype,
+                       self.depth + 1, name="u")(y, plan, train)
+            y = MaskedBatchNorm(p1, name="deconv_bn")(y, parent.valid, train)
+            y = nn.relu(y)
+            y = UpConv(p1, p0, self.compute_dtype, name="deconv")(y, level)
+            x = jnp.concatenate([identity, y], axis=1)  # skip: ME.cat (common.py:93)
+            for i in range(self.block_reps):
+                cin = p0 * 2 if i == 0 else p0
+                x = ResidualBlock(cin, p0, self.compute_dtype, name=f"block_tail{i}")(x, level, train)
+        return x
+
+
+class TinyUnet(nn.Module):
+    """2-level refinement UNet (reference tiny_unet.py:7-19)."""
+
+    channel: int
+    compute_dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, plan: GridPlan, train: bool) -> jax.Array:
+        c = self.channel
+        x = UBlock((c, 2 * c), 2, self.compute_dtype, 0, name="unet")(x, plan, train)
+        x = MaskedBatchNorm(c)(x, plan.levels[0].valid, train)
+        return nn.relu(x)
+
+
+class PointMLP(nn.Module):
+    """Linear -> BN1d -> ReLU -> Linear point head (backbone.py:20-33)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
+        x = nn.Dense(self.hidden)(x)
+        x = MaskedBatchNorm(self.hidden)(x, mask, train)
+        x = nn.relu(x)
+        return nn.Dense(self.out)(x)
+
+
+class Backbone(nn.Module):
+    """Shared backbone (reference backbone.py:8-43): k3 input conv, 7-level
+    UBlock, BN+ReLU, voxel->point devoxelization, semantic + offset heads."""
+
+    input_channel: int
+    output_channel: int
+    block_channels: Sequence[int]
+    block_reps: int
+    sem_classes: int
+    compute_dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, voxel_feats: jax.Array, plan: GridPlan, v2p: jax.Array,
+                 point_mask: jax.Array, train: bool) -> dict:
+        m = self.output_channel
+        x = SubmConv(self.input_channel, m, self.compute_dtype, name="input_conv")(
+            voxel_feats, plan.levels[0])
+        x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
+                   self.compute_dtype, 0, name="unet")(x, plan, train)
+        x = MaskedBatchNorm(m, name="out_bn")(x, plan.levels[0].valid, train)
+        x = nn.relu(x)
+
+        # devoxelize: voxel -> point gather (backbone.py:40); v2p == cap reads 0
+        pf = sparse_conv.ext_zero(x)[v2p]
+        pf = jnp.where(point_mask[:, None], pf, 0)
+        out = {"point_features": pf}
+        out["semantic_scores"] = PointMLP(m, self.sem_classes, name="semantic_branch")(
+            pf, point_mask, train)
+        out["point_offsets"] = PointMLP(m, 3, name="offset_branch")(pf, point_mask, train)
+        return out

@@ -1,0 +1,75 @@
+"""Fixed-capacity ball query via spatial grid hashing — TPU replacement for
+the reference's O(N^2/batch) CUDA kernel (src/bfs_cluster/bfs_cluster.cu:15-91,
+O1 in SURVEY.md §2.3).
+
+Points are binned into cells of size ``radius``; each point scans a bounded
+window of the 27 adjacent cells and keeps up to K in-radius neighbors. Output
+is a dense (N, K) neighbor table with a validity mask — deterministic by
+construction, unlike the reference's atomic-cursor compaction (its wrapper
+even retries on overflow, functions/common_ops.py:31-38). Capping K/window
+can drop edges of very dense blobs, but those blobs stay connected through
+shared cell-window candidates, which is all the downstream connected-component
+pass needs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minsu3d_tpu.ops import hashing as hs
+
+_CELL_OFFSET = 512  # recentre cells so negative coords stay in [0, 1024)
+
+
+def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
+               radius: float, k: int, window: int = 32):
+    """Neighbor lists: up to ``k`` same-batch points within ``radius``.
+
+    Returns (nbr_idx (N, k) int32, nbr_valid (N, k) bool). Includes self.
+    """
+    n = coords.shape[0]
+    cell = jnp.floor(coords / radius).astype(jnp.int32) + _CELL_OFFSET
+    cell = jnp.clip(cell, 0, hs.COORD_MAX - 1)
+    khi, klo = hs.pack(batch, cell)
+    khi, klo = hs.mask_invalid(khi, klo, valid)
+    perm = hs.lexsort_pairs(khi, klo).astype(jnp.int32)
+    s_hi, s_lo = khi[perm], klo[perm]
+
+    r2 = jnp.float32(radius * radius)
+    coords_ext = jnp.concatenate([coords, jnp.zeros((1, 3), coords.dtype)], 0)
+
+    nbr_idx = jnp.zeros((n, k), jnp.int32)
+    nbr_valid = jnp.zeros((n, k), bool)
+    fill = jnp.zeros((n,), jnp.int32)
+
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+    offs = jnp.array(offsets, jnp.int32)
+
+    def body(c, carry):
+        nbr_idx, nbr_valid, fill = carry
+        q_cell = cell + offs[c]
+        q_hi, q_lo = hs.pack(batch, jnp.clip(q_cell, 0, hs.COORD_MAX - 1))
+        q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, valid)
+        start = hs.lower_bound(s_hi, s_lo, q_hi, q_lo)  # (N,)
+
+        pos = start[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        pos_c = jnp.minimum(pos, n - 1)
+        same_cell = (s_hi[pos_c] == q_hi[:, None]) & (s_lo[pos_c] == q_lo[:, None]) & (pos < n)
+        cand = perm[pos_c]                                      # (N, W)
+        cand_safe = jnp.where(same_cell, cand, n)
+        d = coords_ext[cand_safe] - coords[:, None, :]
+        ok = same_cell & (jnp.sum(d * d, axis=-1) <= r2) & valid[:, None]
+
+        prefix = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+        col = fill[:, None] + prefix - 1
+        store = ok & (col < k)
+        col_c = jnp.where(store, col, k)                        # k = dropped
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, window))
+        nbr_idx = nbr_idx.at[rows, col_c].set(cand_safe, mode="drop")
+        nbr_valid = nbr_valid.at[rows, col_c].set(store, mode="drop")
+        fill = jnp.minimum(fill + prefix[:, -1], k)
+        return nbr_idx, nbr_valid, fill
+
+    nbr_idx, nbr_valid, fill = jax.lax.fori_loop(0, 27, body, (nbr_idx, nbr_valid, fill))
+    return jnp.where(nbr_valid, nbr_idx, n), nbr_valid

@@ -1,0 +1,105 @@
+"""On-device connected components by iterative min-label propagation — the
+TPU replacement for the reference's CPU BFS clustering (pg_bfs_cluster /
+sg_bfs_cluster, src/bfs_cluster/bfs_cluster.cpp:28-187, O2/O3 in SURVEY.md),
+eliminating its GPU->CPU->GPU round-trip (reference pointgroup.py:49-56).
+
+Each point starts labeled with its own index; sweeps alternate neighbor
+min-gather, symmetric min-scatter, and pointer jumping (label <- label[label])
+until a fixed point — O(log diameter) sweeps for radius graphs of room scans.
+Cluster *membership* matches the reference BFS exactly (given the same graph);
+cluster ordering differs, which all consumers are invariant to.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.Array,
+                         group: jax.Array | None = None, max_iters: int = 64) -> jax.Array:
+    """Min-index labels of connected components.
+
+    nbr_idx (N, K) neighbor table (value N = absent), nbr_valid (N, K),
+    ``active`` masks points that participate at all; ``group`` (N,) restricts
+    edges to equal group values (the same-semantic-label rule of the
+    reference BFS, bfs_cluster.cpp:28-40). Returns (N,) int32 labels; inactive
+    points get N.
+    """
+    n = nbr_idx.shape[0]
+    if group is not None:
+        g_ext = jnp.concatenate([group, jnp.full((1,), -2, group.dtype)])
+        nbr_valid = nbr_valid & (g_ext[nbr_idx] == group[:, None])
+    active_ext = jnp.concatenate([active, jnp.zeros((1,), bool)])
+    nbr_valid = nbr_valid & active[:, None] & active_ext[nbr_idx]
+    nbr_safe = jnp.where(nbr_valid, nbr_idx, n)
+
+    label0 = jnp.where(active, jnp.arange(n, dtype=jnp.int32), n)
+
+    def sweep(label):
+        ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
+        # gather: my label <- min over my neighbors
+        gathered = jnp.min(jnp.where(nbr_valid, ext[nbr_idx], n), axis=1)
+        label = jnp.minimum(label, gathered)
+        # scatter: my neighbors' labels <- min with mine (covers capped edges)
+        ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
+        ext = ext.at[nbr_safe].min(jnp.broadcast_to(label[:, None], nbr_safe.shape))
+        label = jnp.minimum(label, ext[:n])
+        # pointer jumping x2
+        ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
+        label = jnp.minimum(label, ext[label])
+        ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
+        label = jnp.minimum(label, ext[label])
+        return jnp.where(active, label, n)
+
+    def cond(state):
+        i, label, done = state
+        return (~done) & (i < max_iters)
+
+    def body(state):
+        i, label, _ = state
+        new = sweep(label)
+        return i + 1, new, jnp.all(new == label)
+
+    _, label, _ = jax.lax.while_loop(cond, body, (0, sweep(label0), False))
+    return label
+
+
+class Clusters(NamedTuple):
+    """Compact clustering: per-point cluster id + per-cluster stats."""
+
+    point_cluster: jax.Array  # (N,) int32 in [0, C) or C for none
+    sizes: jax.Array          # (C,) int32
+    valid: jax.Array          # (C,) bool
+    count: jax.Array          # () int32
+
+
+def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
+    """Renumber CC labels (representative indices) to dense ids [0, C)."""
+    n = label.shape[0]
+    order = jnp.argsort(jnp.where(active, label, n))
+    sl = label[order]
+    sa = active[order]
+    prev = jnp.concatenate([jnp.full((1,), -1, sl.dtype), sl[:-1]])
+    first = (sl != prev) & sa
+    cid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    count = jnp.sum(first.astype(jnp.int32))
+    cid_sorted = jnp.where(sa & (cid_sorted < c_cap), cid_sorted, c_cap)
+    point_cluster = jnp.zeros((n,), jnp.int32).at[order].set(cid_sorted)
+    sizes = jnp.zeros((c_cap + 1,), jnp.int32).at[point_cluster].add(
+        active.astype(jnp.int32))[:c_cap]
+    valid = jnp.arange(c_cap) < jnp.minimum(count, c_cap)
+    return Clusters(point_cluster, sizes, valid, jnp.minimum(count, c_cap))
+
+
+def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
+                   group: jax.Array | None, radius: float, k: int, window: int,
+                   c_cap: int, max_iters: int = 64) -> Clusters:
+    """ball_query + connected_components + compaction in one call."""
+    from minsu3d_tpu.ops.ballquery import ball_query
+
+    nbr_idx, nbr_valid = ball_query(coords, batch, active, radius, k, window)
+    label = connected_components(nbr_idx, nbr_valid, active, group, max_iters)
+    return compact_labels(label, active, c_cap)

@@ -1,0 +1,171 @@
+"""Golden tests for the coordinate-hash tables and sparse conv engine against
+brute-force NumPy implementations of the reference semantics (SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minsu3d_tpu.ops import hashing as hs
+from minsu3d_tpu.ops import sparse, sparse_conv
+
+
+def random_voxels(rng, n, extent=40, batches=3):
+    coords = rng.integers(0, extent, size=(n, 3))
+    batch = rng.integers(0, batches, size=(n,))
+    keys = {(int(b), *map(int, c)) for b, c in zip(batch, coords)}
+    keys = sorted(keys)
+    arr = np.array(keys, dtype=np.int32)
+    return arr[:, 0], arr[:, 1:]
+
+
+def pad(x, cap, fill=0):
+    out = np.full((cap,) + x.shape[1:], fill, x.dtype)
+    out[: len(x)] = x
+    return out
+
+
+class TestHashing:
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        coords = rng.integers(0, 1024, size=(100, 3)).astype(np.int32)
+        batch = rng.integers(0, 1000, size=(100,)).astype(np.int32)
+        khi, klo = hs.pack(jnp.array(batch), jnp.array(coords))
+        b2, c2 = hs.unpack(khi, klo)
+        np.testing.assert_array_equal(np.asarray(b2), batch)
+        np.testing.assert_array_equal(np.asarray(c2), coords)
+
+    def test_lookup_finds_all_and_rejects_missing(self):
+        rng = np.random.default_rng(1)
+        batch, coords = random_voxels(rng, 500)
+        n = len(batch)
+        cap = 700
+        khi, klo = hs.pack(jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)))
+        valid = jnp.arange(cap) < n
+        khi, klo = hs.mask_invalid(khi, klo, valid)
+        perm = hs.lexsort_pairs(khi, klo)
+        s_hi, s_lo = khi[perm], klo[perm]
+
+        q_hi, q_lo = hs.pack(jnp.array(batch), jnp.array(coords))
+        idx, found = hs.lookup(s_hi, s_lo, q_hi, q_lo)
+        assert bool(jnp.all(found))
+        np.testing.assert_array_equal(np.asarray(s_hi[idx]), np.asarray(q_hi))
+        np.testing.assert_array_equal(np.asarray(s_lo[idx]), np.asarray(q_lo))
+
+        # queries guaranteed absent (different batch id)
+        q_hi2 = q_hi + 100
+        idx2, found2 = hs.lookup(s_hi, s_lo, q_hi2, q_lo)
+        assert not bool(jnp.any(found2))
+        assert bool(jnp.all(idx2 == cap))
+
+
+class TestBuildBase:
+    def test_dedup_and_row2voxel(self):
+        rng = np.random.default_rng(2)
+        batch = np.array([0, 0, 0, 1, 1, 0], dtype=np.int32)
+        coords = np.array([[1, 2, 3], [1, 2, 3], [4, 5, 6], [1, 2, 3], [1, 2, 3], [9, 9, 9]], np.int32)
+        feats = rng.normal(size=(6, 4)).astype(np.float32)
+        cap = 8
+        level, row2voxel, feats_v = sparse.build_base(
+            jnp.array(batch), jnp.array(coords), jnp.ones(6, bool), cap, jnp.array(feats))
+        assert int(level.count) == 4  # {(0,123),(0,456),(0,999),(1,123)}
+        r2v = np.asarray(row2voxel)
+        assert r2v[0] == r2v[1] and r2v[3] == r2v[4]
+        assert len({r2v[0], r2v[2], r2v[3], r2v[5]}) == 4
+        # voxel coords round-trip through the table
+        vc = np.asarray(level.coords)
+        for row in range(6):
+            np.testing.assert_array_equal(vc[r2v[row]], coords[row])
+        # representative features: first row in key order of each voxel
+        fv = np.asarray(feats_v)
+        np.testing.assert_allclose(fv[r2v[0]], feats[0])
+        np.testing.assert_allclose(fv[r2v[3]], feats[3])
+
+    def test_overflow_drops_deterministically(self):
+        batch = np.zeros(10, np.int32)
+        coords = np.stack([np.arange(10)] * 3, 1).astype(np.int32)
+        level, row2voxel, _ = sparse.build_base(
+            jnp.array(batch), jnp.array(coords), jnp.ones(10, bool), 6)
+        assert int(level.count) == 6
+        assert int(level.n_dropped) == 4
+        assert int(jnp.sum(row2voxel == 6)) == 4
+
+
+def np_subm_conv(coords, batch, feats, weight):
+    """Brute-force 3^3 submanifold conv."""
+    n = len(coords)
+    table = {(int(b), *map(int, c)): i for i, (b, c) in enumerate(zip(batch, coords))}
+    out = np.zeros((n, weight.shape[-1]), np.float32)
+    for i in range(n):
+        k = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    key = (int(batch[i]), int(coords[i, 0] + dx), int(coords[i, 1] + dy), int(coords[i, 2] + dz))
+                    j = table.get(key)
+                    if j is not None:
+                        out[i] += feats[j] @ weight[k]
+                    k += 1
+    return out
+
+
+class TestSparseConv:
+    def _plan(self, rng, n=200, cap=256, levels=2):
+        batch, coords = random_voxels(rng, n, extent=16, batches=2)
+        n = len(batch)
+        feats = rng.normal(size=(n, 8)).astype(np.float32)
+        caps = [cap for _ in range(levels)]  # random data doesn't shrink 2x/level
+        plan, row2voxel, feats_v = sparse.build_plan(
+            jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)),
+            jnp.arange(cap) < n, caps, levels, jnp.array(pad(feats, cap)))
+        return batch, coords, feats, plan, row2voxel, feats_v
+
+    def test_subm_conv_matches_bruteforce(self):
+        rng = np.random.default_rng(3)
+        batch, coords, feats, plan, r2v, feats_v = self._plan(rng)
+        w = rng.normal(size=(27, 8, 5)).astype(np.float32) * 0.2
+        out = sparse_conv.subm_conv(feats_v, plan.levels[0], jnp.array(w))
+        ref = np_subm_conv(coords, batch, feats, w)
+        got = np.asarray(out)[np.asarray(r2v)[: len(batch)]]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_down_up_conv_consistency(self):
+        rng = np.random.default_rng(4)
+        batch, coords, feats, plan, r2v, feats_v = self._plan(rng)
+        child, parent = plan.levels[0], plan.levels[1]
+        wd = rng.normal(size=(8, 8, 6)).astype(np.float32) * 0.2
+        down = np.asarray(sparse_conv.down_conv(feats_v, child, parent.cap, jnp.array(wd)))
+
+        # brute force: parent coord -> sum of child feats @ W[kid]
+        pc = np.asarray(parent.coords)
+        pb = np.asarray(parent.batch)
+        pv = np.asarray(parent.valid)
+        ref = np.zeros_like(down)
+        for i, (b, c) in enumerate(zip(batch, coords)):
+            key = (int(b), *(c // 2))
+            pi = next(j for j in range(len(pc)) if pv[j] and pb[j] == key[0] and tuple(pc[j]) == key[1:])
+            kid = (c[0] & 1) * 4 + (c[1] & 1) * 2 + (c[2] & 1)
+            ref[pi] += feats[i] @ wd[kid]
+        np.testing.assert_allclose(down[pv], ref[pv], rtol=1e-4, atol=1e-4)
+
+        # transposed conv: child i receives parent feats @ Wu[kid_i]
+        wu = rng.normal(size=(8, 6, 3)).astype(np.float32) * 0.2
+        up = np.asarray(sparse_conv.up_conv(jnp.array(ref), child, jnp.array(wu)))
+        kid = np.asarray(child.child_kid)
+        pidx = np.asarray(child.parent_idx)
+        cv = np.asarray(child.valid)
+        for i in range(int(child.count)):
+            if cv[i]:
+                np.testing.assert_allclose(up[i], ref[pidx[i]] @ wu[kid[i]], rtol=1e-4, atol=1e-4)
+
+    def test_conv_is_differentiable(self):
+        rng = np.random.default_rng(5)
+        _, _, feats, plan, _, feats_v = self._plan(rng, n=50, cap=64)
+        w = jnp.array(rng.normal(size=(27, 8, 4)).astype(np.float32))
+
+        def loss(f, w):
+            return jnp.sum(sparse_conv.subm_conv(f, plan.levels[0], w) ** 2)
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(feats_v, w)
+        assert np.isfinite(np.asarray(g1)).all() and np.isfinite(np.asarray(g2)).all()
+        assert float(jnp.abs(g2).sum()) > 0
