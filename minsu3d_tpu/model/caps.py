@@ -1,0 +1,33 @@
+"""Static (hashable) capacity spec threaded through jitted model code."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+
+class StaticCaps(NamedTuple):
+    voxel_caps: tuple          # per-UNet-level voxel capacities
+    instances: int             # gt instance axis (I)
+    clusters: int              # connected-component axis (C)
+    proposals: int             # proposal axis (P)
+    neighbors: int             # ball-query K
+    window: int                # ball-query per-cell scan window
+    cc_iters: int              # max label-propagation sweeps
+    proposal_voxel_caps: tuple # proposal mini-grid capacities (TinyUnet levels)
+
+    @classmethod
+    def from_cfg(cls, cfg, split: str) -> "StaticCaps":
+        caps = cfg.data.caps
+        v = caps.voxels if split == "train" else caps.eval_voxels
+        inst = caps.instances if split == "train" else caps.eval_instances
+        n_levels = len(cfg.model.network.blocks)
+        return cls(
+            voxel_caps=tuple(max(v // d, 1024) for d in caps.level_divisors[:n_levels]),
+            instances=inst,
+            clusters=caps.clusters,
+            proposals=caps.proposals,
+            neighbors=caps.neighbors,
+            window=caps.cell_window,
+            cc_iters=caps.cc_iters,
+            proposal_voxel_caps=(caps.proposal_voxels, max(caps.proposal_voxels // 2, 1024)),
+        )

@@ -1,0 +1,114 @@
+"""Shared model machinery (reference minsu3d/model/general_model.py).
+
+Contains the jittable building blocks every model composes:
+  * ``build_scene_plan``      — batch arrays -> UNet grid plan + point->voxel map
+  * ``clusters_voxelization`` — proposal re-voxelization for score/mask heads
+                                (reference general_model.py:152-193)
+  * ``get_segmented_scores``  — IoU -> soft score targets (:196-213)
+  * ``semantic_loss`` / offset loss wiring (:36-50)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minsu3d_tpu.loss import pt_offset_loss
+from minsu3d_tpu.ops import segment, sparse
+from minsu3d_tpu.ops.instance_iou import ProposalRows
+
+
+def backbone_caps(cfg, split: str) -> list[int]:
+    caps = cfg.data.caps
+    v = caps.voxels if split == "train" else caps.eval_voxels
+    return [max(v // d, 1024) for d in caps.level_divisors]
+
+
+def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
+    """GridPlan over the batch's voxels + per-point voxel index (sorted space)."""
+    plan, row2voxel, voxel_feats = sparse.build_plan(
+        batch["voxel_batch"], batch["voxel_coords"], batch["voxel_mask"],
+        caps, num_levels, batch["voxel_feats"])
+    cap0 = caps[0]
+    r2v_ext = jnp.concatenate([row2voxel, jnp.full((1,), cap0, jnp.int32)])
+    v2p = r2v_ext[jnp.minimum(batch["p2v"], row2voxel.shape[0])]
+    return plan, v2p, voxel_feats
+
+
+def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:
+    """Piecewise-linear soft targets (reference general_model.py:196-213)."""
+    fg = scores > fg_thresh
+    bg = scores < bg_thresh
+    k = 1.0 / max(fg_thresh - bg_thresh, 1e-12)
+    b = bg_thresh / (bg_thresh - fg_thresh) if fg_thresh != bg_thresh else 0.0
+    mid = scores * k + b
+    return jnp.where(fg, 1.0, jnp.where(bg, 0.0, mid))
+
+
+def semantic_loss(semantic_scores: jax.Array, sem_labels: jax.Array) -> jax.Array:
+    """Cross entropy with ignore_index=-1 (reference general_model.py:39-41)."""
+    valid = sem_labels >= 0
+    labels = jnp.maximum(sem_labels, 0)
+    logp = jax.nn.log_softmax(semantic_scores, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    m = valid.astype(jnp.float32)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def shared_losses(batch: dict, output: dict) -> dict:
+    """Semantic + offset losses (reference general_model.py:36-50)."""
+    losses = {"semantic_loss": semantic_loss(output["semantic_scores"], batch["sem_labels"])}
+    gt_offsets = batch["instance_center_xyz"] - batch["point_xyz"]
+    valid = (batch["instance_ids"] != -1) & batch["point_mask"]
+    norm_l, dir_l = pt_offset_loss(output["point_offsets"], gt_offsets, valid)
+    losses["offset_norm_loss"] = norm_l
+    losses["offset_dir_loss"] = dir_l
+    return losses
+
+
+def clusters_voxelization(rows: ProposalRows, p_cap: int, feats: jax.Array,
+                          coords: jax.Array, scale: float, spatial_shape: int,
+                          rng: jax.Array, pv_caps: list[int]):
+    """Re-voxelize each proposal into its own normalized mini-grid
+    (reference general_model.py:152-193). Returns (plan, row2voxel) — the
+    proposal id doubles as the grid's batch axis, so downstream segment ops
+    can pool per proposal via ``plan.levels[0].batch``.
+    """
+    pid = jnp.where(rows.valid, rows.prop_id, p_cap)
+    c = coords[rows.point_idx]
+    f = feats[rows.point_idx]
+    f = jnp.where(rows.valid[:, None], f, 0)
+
+    mean = segment.sec_mean(c, pid, rows.valid, p_cap)           # (P, 3)
+    c = c - mean[jnp.minimum(pid, p_cap - 1)]
+    cmin = segment.sec_min(c, pid, rows.valid, p_cap)
+    cmax = segment.sec_max(c, pid, rows.valid, p_cap)
+
+    extent = jnp.max((cmax - cmin) / spatial_shape, axis=1)       # (P,)
+    cluster_scale = 1.0 / jnp.maximum(extent, 1e-12) - 0.01
+    cluster_scale = jnp.minimum(cluster_scale, scale)
+    min_xyz = cmin * cluster_scale[:, None]
+    max_xyz = cmax * cluster_scale[:, None]
+
+    c = c * cluster_scale[jnp.minimum(pid, p_cap - 1), None]
+
+    rng1, rng2 = jax.random.split(rng)
+    rnd1 = jax.random.uniform(rng1, (3,))
+    rnd2 = jax.random.uniform(rng2, (3,))
+    span = max_xyz - min_xyz
+    offset = (-min_xyz
+              + jnp.clip(spatial_shape - span - 0.001, min=0) * rnd1[None, :]
+              + jnp.clip(spatial_shape - span + 0.001, max=0) * rnd2[None, :])
+    c = c + offset[jnp.minimum(pid, p_cap - 1)]
+    grid = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, spatial_shape + 2)
+
+    plan, row2voxel, voxel_feats = sparse.build_plan(
+        pid, grid, rows.valid, pv_caps, len(pv_caps), f)
+    return plan, row2voxel, voxel_feats
+
+
+def devoxelize_rows(voxel_out: jax.Array, row2voxel: jax.Array) -> jax.Array:
+    """Proposal-voxel features back to membership rows (score/mask heads)."""
+    from minsu3d_tpu.ops.sparse_conv import ext_zero
+
+    return ext_zero(voxel_out)[row2voxel]

@@ -1,0 +1,270 @@
+"""SoftGroup (reference minsu3d/model/softgroup.py): per-class soft grouping
+on offset-shifted coords, top-down refinement with classification / mask-
+scoring / iou-score branches over (K+1) classes.
+
+The reference's Python loop of per-class ballquery + CPU BFS (softgroup.py:
+43-78) becomes a single ``lax.scan`` over foreground classes running the
+on-device ball query + label propagation with per-class activity masks; class
+results are merged into one proposal id space capped at max_proposal_num.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minsu3d_tpu.evaluation.instance_segmentation import rle_encode
+from minsu3d_tpu.model import general_model as gm
+from minsu3d_tpu.model.caps import StaticCaps
+from minsu3d_tpu.model.module import Backbone, TinyUnet
+from minsu3d_tpu.ops import segment
+from minsu3d_tpu.ops.cluster import cluster_points
+from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou, get_mask_label
+
+
+def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Array,
+                  point_mask: jax.Array, fg_class_ids: tuple, score_thr: float,
+                  radius: float, npoint_thr: float, point_num_avg: jax.Array,
+                  min_npoint: int, max_proposal_num: int, caps: StaticCaps) -> ProposalRows:
+    """Per-class thresholded clustering merged across classes
+    (reference softgroup.py:38-83 + sg_bfs_cluster O3)."""
+    n = shifted.shape[0]
+    cls_ids = jnp.array(fg_class_ids, jnp.int32)
+
+    def per_class(carry, class_id):
+        probs = sem_softmax[:, class_id]
+        active = point_mask & (probs > score_thr)
+        enough = jnp.sum(active.astype(jnp.int32)) >= min_npoint  # skip-class rule
+        active = active & enough
+        clus = cluster_points(shifted, batch_ids, active, None, radius,
+                              caps.neighbors, caps.window, caps.clusters, caps.cc_iters)
+        # class-size-relative threshold (bfs_cluster.cpp:56-187)
+        thr = npoint_thr * point_num_avg[class_id]
+        ok = clus.valid & (clus.sizes.astype(jnp.float32) >= thr)
+        return carry, (clus.point_cluster, ok)
+
+    _, (pc_all, ok_all) = jax.lax.scan(per_class, None, cls_ids)  # (K, N), (K, C)
+
+    p_cap = caps.proposals
+    limit = min(max_proposal_num, p_cap)
+    counts = jnp.sum(ok_all.astype(jnp.int32), axis=1)            # (K,)
+    bases = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    rank = jnp.cumsum(ok_all.astype(jnp.int32), axis=1) - 1       # (K, C)
+    prop = jnp.where(ok_all, bases[:, None] + rank, limit)
+    prop = jnp.where(prop < limit, prop, p_cap)
+    prop_ext = jnp.concatenate([prop, jnp.full((prop.shape[0], 1), p_cap, jnp.int32)], axis=1)
+    pid = jnp.take_along_axis(prop_ext, pc_all, axis=1)           # (K, N)
+    valid = pid < p_cap
+
+    k = len(fg_class_ids)
+    point_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (k, n))
+    return ProposalRows(
+        point_idx=point_idx.reshape(-1),
+        prop_id=jnp.minimum(pid, p_cap).reshape(-1),
+        valid=valid.reshape(-1),
+        n_proposals=jnp.minimum(jnp.sum(counts), limit),
+    )
+
+
+def compact_rows(rows: ProposalRows, r_cap: int) -> ProposalRows:
+    """Stable-compact valid rows into a smaller static capacity."""
+    order = jnp.argsort(~rows.valid, stable=True)[:r_cap]
+    return ProposalRows(
+        point_idx=rows.point_idx[order],
+        prop_id=rows.prop_id[order],
+        valid=rows.valid[order],
+        n_proposals=rows.n_proposals,
+    )
+
+
+class SoftGroupNet(nn.Module):
+    input_channel: int
+    m: int
+    blocks: tuple
+    block_reps: int
+    classes: int
+    ignore_classes: tuple
+    score_thr: float
+    radius: float
+    npoint_thr: float
+    min_npoint: int
+    max_proposal_num: int
+    instance_scale: float
+    instance_spatial_shape: int
+    point_num_avg: tuple
+    caps: StaticCaps
+    compute_dtype: str | None = None
+
+    @property
+    def fg_class_ids(self) -> tuple:
+        return tuple(c for c in range(self.classes) if c + 1 not in self.ignore_classes)
+
+    @property
+    def instance_classes(self) -> int:
+        return self.classes - len(self.ignore_classes)
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
+        plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
+        out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
+                       self.classes, self.compute_dtype, name="backbone")(
+            vfeats, plan, v2p, batch["point_mask"], train)
+        if not with_heads:
+            return out
+
+        c = self.caps
+        sem_softmax = jax.nn.softmax(out["semantic_scores"], axis=-1)
+        shifted = batch["point_xyz"] + jax.lax.stop_gradient(out["point_offsets"])
+        rows = soft_grouping(
+            jax.lax.stop_gradient(sem_softmax), shifted, batch["vert_batch_ids"],
+            batch["point_mask"], self.fg_class_ids, self.score_thr, self.radius,
+            self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
+            self.min_npoint, self.max_proposal_num, c)
+        r_cap = min(rows.point_idx.shape[0], 2 * batch["point_xyz"].shape[0])
+        rows = compact_rows(rows, r_cap)
+        out["proposal_rows"] = rows
+
+        rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
+        plan2, r2v2, pvfeats = gm.clusters_voxelization(
+            rows, c.proposals, out["point_features"], batch["point_xyz"],
+            self.instance_scale, self.instance_spatial_shape, rng,
+            list(c.proposal_voxel_caps))
+        feats = TinyUnet(self.m, self.compute_dtype, name="tiny_unet")(pvfeats, plan2, train)
+
+        k1 = self.instance_classes + 1
+        mask_hidden = nn.relu(nn.Dense(self.m, name="mask_scoring_0")(feats))
+        mask_vox = nn.Dense(k1, name="mask_scoring_1")(mask_hidden)
+        out["mask_scores"] = gm.devoxelize_rows(mask_vox, r2v2)     # (R, K+1)
+
+        # global mean-pool per proposal over its voxels (softgroup.py:112-120)
+        lvl = plan2.levels[0]
+        pooled = segment.global_avg_pool(feats, lvl.batch, lvl.valid, c.proposals)
+        out["cls_scores"] = nn.Dense(k1, name="classification_branch")(pooled)
+        out["iou_scores"] = nn.Dense(k1, name="iou_score")(pooled)
+        return out
+
+
+def make_net(cfg, split: str) -> SoftGroupNet:
+    net_cfg = cfg.model.network
+    return SoftGroupNet(
+        input_channel=3 + 3 * bool(net_cfg.use_color) + 3 * bool(net_cfg.use_normal),
+        m=net_cfg.m,
+        blocks=tuple(net_cfg.blocks),
+        block_reps=net_cfg.block_reps,
+        classes=cfg.data.classes,
+        ignore_classes=tuple(cfg.data.ignore_classes),
+        score_thr=net_cfg.grouping_cfg.score_thr,
+        radius=net_cfg.grouping_cfg.radius,
+        npoint_thr=net_cfg.grouping_cfg.npoint_thr,
+        min_npoint=cfg.model.network.test_cfg.min_npoint,
+        max_proposal_num=net_cfg.train_cfg.max_proposal_num,
+        instance_scale=net_cfg.instance_voxel_cfg.scale,
+        instance_spatial_shape=net_cfg.instance_voxel_cfg.spatial_shape,
+        point_num_avg=tuple(cfg.data.point_num_avg),
+        caps=StaticCaps.from_cfg(cfg, split),
+        compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
+    )
+
+
+def losses(cfg, caps: StaticCaps, batch: dict, out: dict, with_heads: bool) -> dict:
+    """Classification CE + per-class mask BCE + iou-score MSE
+    (reference softgroup.py:127-183)."""
+    result = gm.shared_losses(batch, out)
+    if not with_heads:
+        return result
+
+    net_cfg = cfg.model.network
+    instance_classes = cfg.data.classes - len(cfg.data.ignore_classes)
+    pos_iou_thr = net_cfg.train_cfg.pos_iou_thr
+    rows: ProposalRows = out["proposal_rows"]
+    p_cap = caps.proposals
+    prop_valid = jnp.arange(p_cap) < rows.n_proposals
+
+    ious_on_cluster = get_iou(rows, p_cap, batch["instance_ids"],
+                              batch["instance_num_point"], caps.instances)
+
+    inst_cls = batch["instance_semantic_cls"]
+    fg = (inst_cls != -1) & batch["instance_mask"]
+    fg_ious = jnp.where(fg[None, :], ious_on_cluster, 0.0)
+    max_iou = jnp.max(fg_ious, axis=1)
+    arg = jnp.argmax(fg_ious, axis=1)
+    pos = max_iou >= pos_iou_thr
+
+    labels = jnp.where(pos, jnp.clip(inst_cls[arg], 0, instance_classes), instance_classes)
+    logp = jax.nn.log_softmax(out["cls_scores"], axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    result["classification_loss"] = jnp.sum(ce * prop_valid) / jnp.maximum(jnp.sum(prop_valid), 1)
+
+    # mask scoring at each row's proposal class
+    pid = jnp.minimum(rows.prop_id, p_cap - 1)
+    row_cls = labels[pid]
+    mask_sig = jax.nn.sigmoid(out["mask_scores"])
+    mask_slice = jnp.take_along_axis(mask_sig, row_cls[:, None], axis=1)[:, 0]
+    mask_label, mask_valid = get_mask_label(
+        rows, p_cap, batch["instance_ids"], inst_cls, ious_on_cluster, pos_iou_thr, -1)
+    eps = 1e-7
+    pcl = jnp.clip(mask_slice, eps, 1 - eps)
+    bce = -(mask_label * jnp.log(pcl) + (~mask_label) * jnp.log(1 - pcl))
+    w = (mask_valid & rows.valid).astype(jnp.float32)
+    result["mask_scoring_loss"] = jnp.sum(bce * w) / (jnp.sum(w) + 1)
+
+    # iou scoring vs IoU of the mask-filtered proposal
+    row_w = jax.lax.stop_gradient((mask_slice > 0.5).astype(jnp.float32))
+    ious_on_pred = get_iou(rows, p_cap, batch["instance_ids"],
+                           batch["instance_num_point"], caps.instances, row_weights=row_w)
+    gt_iou = jnp.max(jnp.where(fg[None, :], ious_on_pred, 0.0), axis=1)
+    iou_slice = jnp.take_along_axis(out["iou_scores"], labels[:, None], axis=1)[:, 0]
+    wgt = ((labels < instance_classes) & prop_valid).astype(jnp.float32)
+    mse = (iou_slice - gt_iou) ** 2
+    result["iou_scoring_loss"] = jnp.sum(mse * wgt) / (jnp.sum(wgt) + 1)
+    return result
+
+
+def pred_instances(cfg, scan_id: str, xyz: np.ndarray, out_np: dict,
+                   num_ignored_classes: int) -> list[dict]:
+    """Per-class extraction: conf = cls_softmax * clamp(iou,0,1)
+    (reference softgroup.py:302-355)."""
+    test_cfg = cfg.model.network.test_cfg
+    instance_classes = cfg.data.classes - num_ignored_classes
+    n = xyz.shape[0]
+    rows = out_np["proposal_rows"]
+    n_props = int(rows["n_proposals"])
+    e = np.exp(out_np["cls_scores"][:n_props] - out_np["cls_scores"][:n_props].max(1, keepdims=True))
+    cls_softmax = e / e.sum(1, keepdims=True)
+    iou_scores = out_np["iou_scores"][:n_props]
+    mask_scores = out_np["mask_scores"]
+
+    instances = []
+    v = rows["valid"]
+    r_prop, r_point = rows["prop_id"][v], rows["point_idx"][v]
+    r_mask_scores = mask_scores[v]
+    for i in range(instance_classes):
+        cur_cls = cls_softmax[:, i]
+        score = cur_cls * np.clip(iou_scores[:, i], 0, 1)
+        sel = r_mask_scores[:, i] > test_cfg.mask_score_thr
+        masks = np.zeros((n_props, n), dtype=bool)
+        masks[r_prop[sel], r_point[sel]] = True
+
+        keep = cur_cls > test_cfg.cls_score_thr
+        keep &= masks.sum(1) >= test_cfg.min_npoint
+        for p in np.flatnonzero(keep):
+            mask = masks[p]
+            pred_xyz = xyz[mask]
+            instances.append({
+                "scan_id": scan_id,
+                "label_id": i + 1,
+                "conf": float(score[p]),
+                "pred_mask": rle_encode(mask),
+                "pred_bbox": np.concatenate((pred_xyz.min(0), pred_xyz.max(0))),
+            })
+    return instances
+
+
+def forward_flags(cfg, epoch: int, train: bool) -> dict:
+    return {}
+
+
+def loss_flags(cfg, epoch: int) -> dict:
+    return {}

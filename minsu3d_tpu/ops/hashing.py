@@ -69,12 +69,17 @@ def lower_bound(s_hi: jax.Array, s_lo: jax.Array, q_hi: jax.Array, q_lo: jax.Arr
     steps = cap.bit_length() + 1  # enough halvings to shrink [0, cap] to a point
     lo = jnp.zeros(q_hi.shape, jnp.int32)
     hi = jnp.full(q_hi.shape, cap, jnp.int32)
-    for _ in range(steps):
+
+    def body(_, carry):
+        lo, hi = carry
         mid = (lo + hi) >> 1
         mid_c = jnp.minimum(mid, cap - 1)
         less = _pair_less(s_hi[mid_c], s_lo[mid_c], q_hi, q_lo)
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    # fori_loop, not unrolled: XLA-CPU compile time explodes on the unrolled
+    # gather chain (minutes for a full grid plan); runtime cost is identical
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
 
 

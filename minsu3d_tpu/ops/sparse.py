@@ -99,20 +99,25 @@ def build_base(batch: jax.Array, coords: jax.Array, valid: jax.Array, cap: int,
 
 
 def add_neighbors(level: Level) -> Level:
-    """Attach the 3^3 same-level kernel map (submanifold conv neighbor table)."""
+    """Attach the 3^3 same-level kernel map (submanifold conv neighbor table).
+
+    All 26 non-center offsets are resolved in a single batched lookup (one
+    binary-search loop instead of 26 — matters for XLA compile time).
+    """
     cap = level.cap
-    nbrs = []
-    for (dx, dy, dz) in KERNEL_OFFSETS:
-        if (dx, dy, dz) == (0, 0, 0):
-            idx = jnp.where(level.valid, jnp.arange(cap, dtype=jnp.int32), cap)
-        else:
-            q = level.coords + jnp.array([dx, dy, dz], jnp.int32)
-            in_range = jnp.all((q >= 0) & (q < hs.COORD_MAX), axis=-1) & level.valid
-            q_hi, q_lo = hs.pack(level.batch, jnp.clip(q, 0, hs.COORD_MAX - 1))
-            q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_range)
-            idx, _ = hs.lookup(level.khi, level.klo, q_hi, q_lo, missing=cap)
-        nbrs.append(idx.astype(jnp.int32))
-    return level._replace(nbr_idx=jnp.stack(nbrs, axis=1))
+    offs = jnp.array([o for o in KERNEL_OFFSETS if o != (0, 0, 0)], jnp.int32)  # (26, 3)
+    q = level.coords[None, :, :] + offs[:, None, :]                             # (26, V, 3)
+    in_range = jnp.all((q >= 0) & (q < hs.COORD_MAX), axis=-1) & level.valid[None, :]
+    q_hi, q_lo = hs.pack(jnp.broadcast_to(level.batch[None, :], q.shape[:2]),
+                         jnp.clip(q, 0, hs.COORD_MAX - 1))
+    q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_range)
+    idx, _ = hs.lookup(level.khi, level.klo, q_hi.reshape(-1), q_lo.reshape(-1), missing=cap)
+    idx = idx.reshape(26, cap).astype(jnp.int32)
+
+    center = jnp.where(level.valid, jnp.arange(cap, dtype=jnp.int32), cap)
+    k_center = KERNEL_OFFSETS.index((0, 0, 0))
+    nbr = jnp.concatenate([idx[:k_center], center[None, :], idx[k_center:]], axis=0)
+    return level._replace(nbr_idx=nbr.T)
 
 
 def build_parent(level: Level, cap_p: int) -> tuple[Level, Level]:

@@ -1,0 +1,70 @@
+"""Device mesh + data-parallel step construction.
+
+The reference's only parallelism is Lightning DDP over NCCL (SURVEY.md §2.4);
+here it is a 1-D ``data`` mesh with ``shard_map``: each device runs the
+single-shard model on its own scene group, gradients and batch-norm batch
+statistics are ``pmean``-ed over ICI, parameters stay replicated. Scales to
+multi-host by the same mesh spanning processes (jax.distributed).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: int | str = "auto") -> Mesh:
+    devs = jax.devices()
+    if devices != "auto":
+        devs = devs[: int(devices)]
+    return Mesh(devs, ("data",))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def make_train_step(mesh: Mesh, apply_fn, loss_fn, tx):
+    """Build the jitted data-parallel train step.
+
+    ``apply_fn(params, batch_stats, batch, rng) -> (out, new_batch_stats)``
+    runs the single-shard model; ``loss_fn(out, batch) -> dict`` of scalar
+    losses. The step returns (params, batch_stats, opt_state, metrics) with
+    grads/metrics/batch-stats pmean-ed over the data axis.
+    """
+
+    def shard_step(params, batch_stats, opt_state, batch, rng):
+        # batch leaves carry a leading shard axis of size 1 inside shard_map
+        batch = jax.tree.map(lambda x: jnp.squeeze(x, 0), batch)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+        def compute(p):
+            out, new_bs = apply_fn(p, batch_stats, batch, rng)
+            losses = loss_fn(out, batch)
+            total = sum(losses.values())
+            return total, (losses, new_bs)
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(compute, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, "data")
+        new_bs = jax.lax.pmean(new_bs, "data")
+        losses = jax.lax.pmean({**losses, "total_loss": total}, "data")
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda a, b: a + b, params, updates)
+        return new_params, new_bs, new_opt, losses
+
+    from jax.experimental.shard_map import shard_map
+
+    mapped = shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))

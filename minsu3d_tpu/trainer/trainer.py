@@ -1,0 +1,278 @@
+"""Training/eval loop — the reference's pytorch_lightning.Trainer equivalent
+(SURVEY.md §3.1): optax Adam, per-epoch cosine LR decay, epoch-gated heads
+(``prepare_epochs``), periodic validation with full instance-seg/bbox AP,
+Orbax checkpointing, JSONL metric logging, data-parallel over a jax mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from minsu3d_tpu.evaluation.instance_segmentation import (
+    GeneralDatasetEvaluator, get_gt_instances)
+from minsu3d_tpu.evaluation.object_detection import evaluate_bbox_acc, get_gt_bbox
+from minsu3d_tpu.evaluation.semantic_segmentation import (
+    evaluate_semantic_accuracy, evaluate_semantic_miou)
+from minsu3d_tpu.model import get_model
+from minsu3d_tpu.model.caps import StaticCaps
+from minsu3d_tpu.parallel import mesh as meshlib
+from minsu3d_tpu.util.lr_decay import cosine_lr
+
+
+class MetricsLogger:
+    """JSONL + console logger (W&B stand-in; reference logs via WandbLogger)."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, record: dict) -> None:
+        record = {k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
+                  for k, v in record.items()}
+        if self._f:
+            self._f.write(json.dumps(record) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class Trainer:
+    def __init__(self, cfg, datamodule, ckpt_path: str | None = None):
+        self.cfg = cfg
+        self.dm = datamodule
+        self.model_name = cfg.model.network.module
+        self.bundle = get_model(self.model_name)
+        self.mesh = meshlib.make_mesh(cfg.model.trainer.devices)
+        self.num_shards = len(self.mesh.devices.reshape(-1))
+        self.train_caps = StaticCaps.from_cfg(cfg, "train")
+        self.eval_caps = StaticCaps.from_cfg(cfg, "val")
+        self.train_net = self.bundle.make_net(cfg, "train")
+        self.eval_net = self.bundle.make_net(cfg, "val")
+        self.base_lr = cfg.model.optimizer.lr
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=self.base_lr)
+        self.epoch = 0
+        self.params = None
+        self.batch_stats = None
+        self.opt_state = None
+        self._steps: dict[tuple, Any] = {}
+        self._eval_fns: dict[tuple, Any] = {}
+        self.logger = MetricsLogger(
+            os.path.join(cfg.exp_output_root_path, "metrics.jsonl")
+            if cfg.get("exp_output_root_path") else None)
+        self.ckpt_dir = cfg.model.checkpoint.dirpath if cfg.model.checkpoint.get("dirpath") else None
+        if ckpt_path:
+            self.load_checkpoint(ckpt_path)
+
+    # -- state ---------------------------------------------------------------
+    def init_params(self, example_batch: dict, seed: int = 0) -> None:
+        if self.params is not None:
+            return
+        shard0 = jax.tree.map(lambda x: x[0] if x.ndim > 0 and x.shape[0] == self.num_shards
+                              else x, example_batch)
+        key = jax.random.PRNGKey(seed)
+        flags = self.bundle.forward_flags(self.cfg, 0, True)
+        # with_heads=True so head params exist before prepare_epochs passes
+        # (the reference instantiates all modules up front too)
+        init = jax.jit(lambda k, b: self.train_net.init(
+            {"params": k, "cluster": k}, b, True, True, **flags))
+        variables = init(key, shard0)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+
+    def _set_lr(self, lr: float) -> None:
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    # -- jitted step construction ---------------------------------------------
+    def _train_step(self, with_heads: bool):
+        f_flags = self.bundle.forward_flags(self.cfg, self.epoch, True)
+        l_flags = self.bundle.loss_flags(self.cfg, self.epoch)
+        key = (with_heads, tuple(sorted(f_flags.items())), tuple(sorted(l_flags.items())))
+        if key in self._steps:
+            return self._steps[key]
+
+        net, caps, cfg, bundle = self.train_net, self.train_caps, self.cfg, self.bundle
+
+        def apply_fn(params, batch_stats, batch, rng):
+            out, mut = net.apply(
+                {"params": params, "batch_stats": batch_stats}, batch, True,
+                with_heads, **f_flags, rngs={"cluster": rng}, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+
+        def loss_fn(out, batch):
+            return bundle.losses(cfg, caps, batch, out, with_heads, **l_flags)
+
+        step = meshlib.make_train_step(self.mesh, apply_fn, loss_fn, self.tx)
+        self._steps[key] = step
+        return step
+
+    def _eval_forward(self, with_heads: bool):
+        f_flags = self.bundle.forward_flags(self.cfg, self.epoch, False)
+        key = (with_heads, tuple(sorted(f_flags.items())))
+        if key in self._eval_fns:
+            return self._eval_fns[key]
+        net = self.eval_net
+
+        @jax.jit
+        def fwd(params, batch_stats, batch):
+            return net.apply({"params": params, "batch_stats": batch_stats},
+                             batch, False, with_heads, **f_flags)
+
+        self._eval_fns[key] = fwd
+        return fwd
+
+    @property
+    def heads_active(self) -> bool:
+        return self.epoch > self.cfg.model.network.prepare_epochs
+
+    # -- loops -----------------------------------------------------------------
+    def fit(self, max_epochs: int | None = None) -> None:
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.model.trainer.max_epochs
+        check_every = cfg.model.trainer.check_val_every_n_epoch
+        seed = cfg.get("global_train_seed", 123)
+
+        first = True
+        while self.epoch < max_epochs:
+            lr = cosine_lr(self.base_lr, self.epoch,
+                           cfg.model.lr_decay.decay_start_epoch, max_epochs)
+            t0 = time.time()
+            agg: dict[str, float] = {}
+            nsteps = 0
+            for batch in self.dm.train_batches(self.num_shards, seed + self.epoch):
+                if first:
+                    self.init_params(batch, seed)
+                    first = False
+                self._set_lr(lr)
+                step = self._train_step(self.heads_active)
+                rng = jax.random.fold_in(jax.random.PRNGKey(seed), self.epoch * 100003 + nsteps)
+                self.params, self.batch_stats, self.opt_state, losses = step(
+                    self.params, self.batch_stats, self.opt_state, batch, rng)
+                for k, v in losses.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                nsteps += 1
+            record = {f"train/{k}": v / max(nsteps, 1) for k, v in agg.items()}
+            record.update(epoch=self.epoch, lr=lr, epoch_time=time.time() - t0)
+            self.logger.log(record)
+            print(f"[epoch {self.epoch}] " +
+                  " ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in record.items()
+                           if k.startswith("train/")) + f" lr={lr:.2e}", flush=True)
+
+            self.epoch += 1
+            if self.epoch % check_every == 0:
+                self.validate()
+                self.save_checkpoint()
+
+    def validate(self, split: str = "val") -> dict:
+        metrics = self._run_eval(split, with_losses=True)
+        self.logger.log({"epoch": self.epoch, **{f"val/{k}": v for k, v in metrics.items()
+                                                 if isinstance(v, (int, float))}})
+        return metrics
+
+    def _run_eval(self, split: str, with_losses: bool = False,
+                  save_predictions_to: str | None = None, print_result: bool = False) -> dict:
+        cfg = self.cfg
+        fwd = self._eval_forward(self.heads_active)
+        ignore = list(cfg.data.ignore_classes)
+        all_preds, all_gts, all_gt_bboxes = [], [], []
+        sem_accs, sem_mious = [], []
+        for scan_id, batch, item in self.dm.eval_batches(split):
+            out = fwd(self.params, self.batch_stats, batch)
+            n = int(batch["num_points"])
+            sem_scores = np.asarray(out["semantic_scores"])[:n]
+            sem_gt = np.asarray(batch["sem_labels"])[:n]
+            sem_accs.append(evaluate_semantic_accuracy(sem_scores.argmax(1), sem_gt, -1))
+            sem_mious.append(evaluate_semantic_miou(sem_scores.argmax(1), sem_gt, -1))
+            if self.heads_active:
+                out_np = _to_numpy_out(out, n)
+                xyz = np.asarray(batch["point_xyz"])[:n]
+                preds = self.bundle.pred_instances(cfg, scan_id, xyz, out_np, len(ignore))
+                inst_gt = np.asarray(batch["instance_ids"])[:n]
+                all_preds.append(preds)
+                all_gts.append(get_gt_instances(sem_gt, inst_gt, ignore))
+                all_gt_bboxes.append(get_gt_bbox(xyz, inst_gt, sem_gt, -1, ignore))
+
+        metrics: dict[str, Any] = {
+            "semantic_accuracy": float(np.mean(sem_accs)) if sem_accs else 0.0,
+            "semantic_mean_iou": float(np.mean(sem_mious)) if sem_mious else 0.0,
+        }
+        if self.heads_active and all_preds:
+            evaluator = GeneralDatasetEvaluator(cfg.data.class_names, -1, ignore)
+            res = evaluator.evaluate(all_preds, all_gts, print_result=print_result)
+            bbox = evaluate_bbox_acc(all_preds, all_gt_bboxes, cfg.data.class_names,
+                                     ignore, print_result=print_result)
+            metrics.update({
+                "AP": res["all_ap"], "AP_50": res["all_ap_50%"], "AP_25": res["all_ap_25%"],
+                "BBoxAP_50": bbox["all_bbox_ap_0.5"]["avg"],
+                "BBoxAP_25": bbox["all_bbox_ap_0.25"]["avg"],
+            })
+            if save_predictions_to:
+                from minsu3d_tpu.util.io import save_prediction
+
+                save_prediction(save_predictions_to, all_preds,
+                                cfg.data.mapping_classes_ids, ignore)
+        return metrics
+
+    def test(self, print_result: bool = True) -> dict:
+        cfg = self.cfg
+        split = cfg.model.inference.split
+        save_dir = None
+        if cfg.model.inference.save_predictions and cfg.get("exp_output_root_path"):
+            save_dir = os.path.join(cfg.exp_output_root_path, "inference", split, "predictions")
+        return self._run_eval(split, save_predictions_to=save_dir, print_result=print_result)
+
+    # -- checkpointing ----------------------------------------------------------
+    def save_checkpoint(self, path: str | None = None) -> str | None:
+        if path is None and self.ckpt_dir is None:
+            return None
+        import orbax.checkpoint as ocp
+
+        path = path or os.path.join(self.ckpt_dir, f"epoch_{self.epoch}")
+        path = os.path.abspath(path)
+        ckpt = {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state, "epoch": self.epoch}
+        ocp.PyTreeCheckpointer().save(path, ckpt, force=True)
+        return path
+
+    def load_checkpoint(self, path: str, example_batch: dict | None = None) -> None:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        self.epoch = int(restored["epoch"])
+        if restored.get("opt_state") is not None:
+            try:
+                self.opt_state = jax.tree.unflatten(
+                    jax.tree.structure(self.tx.init(self.params)),
+                    jax.tree.leaves(restored["opt_state"]))
+            except Exception:
+                self.opt_state = self.tx.init(self.params)
+
+
+def _to_numpy_out(out: dict, n_points: int) -> dict:
+    """Device outputs -> host numpy, truncating point-axis arrays."""
+    res = {}
+    for k, v in out.items():
+        if k == "proposal_rows":
+            res[k] = {f: np.asarray(getattr(v, f)) for f in v._fields}
+        else:
+            arr = np.asarray(v)
+            res[k] = arr
+    if "semantic_scores" in res:
+        res["semantic_scores"] = res["semantic_scores"][:n_points]
+    return res

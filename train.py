@@ -1,0 +1,26 @@
+"""Training CLI (reference train.py:10-45), Hydra-style overrides:
+
+    python train.py model=pointgroup data=scannetv2 model.trainer.devices=2
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from minsu3d_tpu.config import load_config
+from minsu3d_tpu.data.datamodule import DataModule
+from minsu3d_tpu.trainer import Trainer
+
+
+def main(overrides: list[str]) -> None:
+    cfg = load_config(overrides)
+    np.random.seed(cfg.global_train_seed)
+    dm = DataModule(cfg)
+    trainer = Trainer(cfg, dm, ckpt_path=cfg.model.get("ckpt_path"))
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
