@@ -112,3 +112,62 @@ def devoxelize_rows(voxel_out: jax.Array, row2voxel: jax.Array) -> jax.Array:
     from minsu3d_tpu.ops.sparse_conv import ext_zero
 
     return ext_zero(voxel_out)[row2voxel]
+
+
+def clusters_voxelization_dense(rows: ProposalRows, p_cap: int, feats: jax.Array,
+                                coords: jax.Array, scale: float, spatial_shape: int,
+                                rng: jax.Array):
+    """Proposal re-voxelization into DENSE (P, S, S, S, C) volumes.
+
+    Same normalization/jitter math as the reference (general_model.py:152-193)
+    but scattering into dense per-proposal volumes instead of building a sparse
+    coordinate map — proposal grids are tiny (S = 14..20), so the downstream
+    refinement UNet runs as masked dense 3D convs on the MXU with zero
+    coordinate hashing mid-forward.
+
+    Returns (volume (P,S,S,S,C), occupancy (P,S,S,S), row_cell (R,) flat cell
+    index for devoxelization, = P*S^3 for invalid rows).
+    """
+    s = spatial_shape
+    pid = jnp.where(rows.valid, rows.prop_id, p_cap)
+    c = coords[rows.point_idx]
+    f = feats[rows.point_idx]
+    f = jnp.where(rows.valid[:, None], f, 0)
+
+    mean = segment.sec_mean(c, pid, rows.valid, p_cap)
+    c = c - mean[jnp.minimum(pid, p_cap - 1)]
+    cmin = segment.sec_min(c, pid, rows.valid, p_cap)
+    cmax = segment.sec_max(c, pid, rows.valid, p_cap)
+
+    extent = jnp.max((cmax - cmin) / s, axis=1)
+    cluster_scale = jnp.minimum(1.0 / jnp.maximum(extent, 1e-12) - 0.01, scale)
+    min_xyz = cmin * cluster_scale[:, None]
+    max_xyz = cmax * cluster_scale[:, None]
+    c = c * cluster_scale[jnp.minimum(pid, p_cap - 1), None]
+
+    rng1, rng2 = jax.random.split(rng)
+    span = max_xyz - min_xyz
+    offset = (-min_xyz
+              + jnp.clip(s - span - 0.001, min=0) * jax.random.uniform(rng1, (3,))[None, :]
+              + jnp.clip(s - span + 0.001, max=0) * jax.random.uniform(rng2, (3,))[None, :])
+    c = c + offset[jnp.minimum(pid, p_cap - 1)]
+    grid = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, s - 1)
+
+    n_cells = p_cap * s * s * s
+    cell = ((pid * s + grid[:, 0]) * s + grid[:, 1]) * s + grid[:, 2]
+    cell = jnp.where(rows.valid, cell, n_cells).astype(jnp.int32)
+
+    n_feat = feats.shape[1]
+    volume = jnp.zeros((n_cells + 1, n_feat), feats.dtype).at[cell].set(f)[:n_cells]
+    occ = jnp.zeros((n_cells + 1,), bool).at[cell].set(rows.valid)[:n_cells]
+    volume = volume.reshape(p_cap, s, s, s, n_feat)
+    occ = occ.reshape(p_cap, s, s, s)
+    return volume, occ, cell
+
+
+def devoxelize_dense(volume: jax.Array, row_cell: jax.Array) -> jax.Array:
+    """Dense proposal-volume features back to membership rows."""
+    from minsu3d_tpu.ops.sparse_conv import ext_zero
+
+    flat = volume.reshape(-1, volume.shape[-1])
+    return ext_zero(flat)[row_cell]

@@ -19,7 +19,8 @@ import numpy as np
 from minsu3d_tpu.evaluation.instance_segmentation import rle_encode
 from minsu3d_tpu.model import general_model as gm
 from minsu3d_tpu.model.caps import StaticCaps
-from minsu3d_tpu.model.module import Backbone, TinyUnet
+from minsu3d_tpu.model.module import Backbone
+from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
 from minsu3d_tpu.model.pointgroup import foreground_mask
 from minsu3d_tpu.ops import segment
 from minsu3d_tpu.ops.cluster import Clusters, cluster_points
@@ -138,18 +139,19 @@ class HAISNet(nn.Module):
         out["proposal_rows"] = rows
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
-        plan2, r2v2, pvfeats = gm.clusters_voxelization(
+        volume, occ, row_cell = gm.clusters_voxelization_dense(
             rows, c.proposals, out["point_features"], batch["point_xyz"],
-            self.score_scale, self.score_fullscale, rng, list(c.proposal_voxel_caps))
-        inst_feats = TinyUnet(self.m, self.compute_dtype, name="tiny_unet")(pvfeats, plan2, train)
+            self.score_scale, self.score_fullscale, rng)
+        inst_feats = DenseTinyUnet(self.m, self.compute_dtype, name="tiny_unet")(
+            volume, occ, train)
 
         # mask branch on voxels, then devoxelize (reference hais.py:79-81)
         mask_hidden = nn.relu(nn.Dense(self.m, name="mask_branch_0")(inst_feats))
         mask_vox = nn.Dense(1, name="mask_branch_1")(mask_hidden)
-        mask_scores = gm.devoxelize_rows(mask_vox, r2v2)[:, 0]       # per row
+        mask_scores = gm.devoxelize_dense(mask_vox, row_cell)[:, 0]  # per row
         out["mask_scores"] = mask_scores
 
-        score_feats = gm.devoxelize_rows(inst_feats, r2v2)
+        score_feats = gm.devoxelize_dense(inst_feats, row_cell)
         if mask_filter_score_feature:
             keep = jax.nn.sigmoid(mask_scores) >= mask_filter_thre
             score_feats = score_feats * keep[:, None]

@@ -18,7 +18,8 @@ import numpy as np
 from minsu3d_tpu.evaluation.instance_segmentation import rle_encode
 from minsu3d_tpu.model import general_model as gm
 from minsu3d_tpu.model.caps import StaticCaps
-from minsu3d_tpu.model.module import Backbone, TinyUnet
+from minsu3d_tpu.model.module import Backbone
+from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
 from minsu3d_tpu.ops import segment
 from minsu3d_tpu.ops.cluster import Clusters, cluster_points
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou
@@ -105,11 +106,11 @@ class PointGroupNet(nn.Module):
         out["proposal_rows"] = rows
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
-        plan2, r2v2, pvfeats = gm.clusters_voxelization(
+        volume, occ, row_cell = gm.clusters_voxelization_dense(
             rows, c.proposals, out["point_features"], xyz,
-            self.score_scale, self.score_fullscale, rng, list(c.proposal_voxel_caps))
-        sf = TinyUnet(self.m, self.compute_dtype, name="score_net")(pvfeats, plan2, train)
-        row_feats = gm.devoxelize_rows(sf, r2v2)
+            self.score_scale, self.score_fullscale, rng)
+        sf = DenseTinyUnet(self.m, self.compute_dtype, name="score_net")(volume, occ, train)
+        row_feats = gm.devoxelize_dense(sf, row_cell)
         prop_feats = segment.roipool(row_feats, rows.prop_id, rows.valid, c.proposals)
         out["proposal_scores"] = nn.Dense(1, name="score_branch")(prop_feats)[:, 0]
         return out

@@ -18,8 +18,8 @@ import numpy as np
 from minsu3d_tpu.evaluation.instance_segmentation import rle_encode
 from minsu3d_tpu.model import general_model as gm
 from minsu3d_tpu.model.caps import StaticCaps
-from minsu3d_tpu.model.module import Backbone, TinyUnet
-from minsu3d_tpu.ops import segment
+from minsu3d_tpu.model.module import Backbone
+from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
 from minsu3d_tpu.ops.cluster import cluster_points
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou, get_mask_label
 
@@ -127,20 +127,20 @@ class SoftGroupNet(nn.Module):
         out["proposal_rows"] = rows
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
-        plan2, r2v2, pvfeats = gm.clusters_voxelization(
+        volume, occ, row_cell = gm.clusters_voxelization_dense(
             rows, c.proposals, out["point_features"], batch["point_xyz"],
-            self.instance_scale, self.instance_spatial_shape, rng,
-            list(c.proposal_voxel_caps))
-        feats = TinyUnet(self.m, self.compute_dtype, name="tiny_unet")(pvfeats, plan2, train)
+            self.instance_scale, self.instance_spatial_shape, rng)
+        feats = DenseTinyUnet(self.m, self.compute_dtype, name="tiny_unet")(volume, occ, train)
 
         k1 = self.instance_classes + 1
         mask_hidden = nn.relu(nn.Dense(self.m, name="mask_scoring_0")(feats))
         mask_vox = nn.Dense(k1, name="mask_scoring_1")(mask_hidden)
-        out["mask_scores"] = gm.devoxelize_rows(mask_vox, r2v2)     # (R, K+1)
+        out["mask_scores"] = gm.devoxelize_dense(mask_vox, row_cell)  # (R, K+1)
 
         # global mean-pool per proposal over its voxels (softgroup.py:112-120)
-        lvl = plan2.levels[0]
-        pooled = segment.global_avg_pool(feats, lvl.batch, lvl.valid, c.proposals)
+        occ_f = occ[..., None].astype(feats.dtype)
+        pooled = jnp.sum(feats * occ_f, axis=(1, 2, 3)) / jnp.maximum(
+            jnp.sum(occ_f, axis=(1, 2, 3)), 1.0)
         out["cls_scores"] = nn.Dense(k1, name="classification_branch")(pooled)
         out["iou_scores"] = nn.Dense(k1, name="iou_score")(pooled)
         return out

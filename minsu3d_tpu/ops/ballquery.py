@@ -3,11 +3,13 @@ the reference's O(N^2/batch) CUDA kernel (src/bfs_cluster/bfs_cluster.cu:15-91,
 O1 in SURVEY.md §2.3).
 
 Points are binned into cells of size ``radius``; each point scans a bounded
-window of the 27 adjacent cells and keeps up to K in-radius neighbors. Output
-is a dense (N, K) neighbor table with a validity mask — deterministic by
+window of the 27 adjacent cells and keeps up to K in-radius neighbors. All 27
+cell-run starts are resolved with ONE sorted-union lookup (random gathers are
+the expensive primitive on TPU; sorts are cheap — see hashing.py). Output is
+a dense (N, K) neighbor table with a validity mask — deterministic by
 construction, unlike the reference's atomic-cursor compaction (its wrapper
 even retries on overflow, functions/common_ops.py:31-38). Capping K/window
-can drop edges of very dense blobs, but those blobs stay connected through
+can drop edges inside very dense blobs, but those blobs stay connected through
 shared cell-window candidates, which is all the downstream connected-component
 pass needs.
 """
@@ -36,27 +38,36 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     perm = hs.lexsort_pairs(khi, klo).astype(jnp.int32)
     s_hi, s_lo = khi[perm], klo[perm]
 
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+    offs = jnp.array(offsets, jnp.int32)                       # (27, 3)
+
+    # all 27 neighbor-cell run starts in one sorted-union pass:
+    # lower_bound(key) == upper_bound(key - 1)
+    q_cell = cell[None, :, :] + offs[:, None, :]               # (27, N, 3)
+    in_rng = jnp.all((q_cell >= 0) & (q_cell < hs.COORD_MAX), axis=-1) & valid[None, :]
+    q_hi, q_lo = hs.pack(jnp.broadcast_to(batch[None, :], (27, n)),
+                         jnp.clip(q_cell, 0, hs.COORD_MAX - 1))
+    q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_rng)
+    _, _, starts = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1) - 1)
+    starts = starts.reshape(27, n)
+
     r2 = jnp.float32(radius * radius)
     coords_ext = jnp.concatenate([coords, jnp.zeros((1, 3), coords.dtype)], 0)
+    perm_ext = jnp.concatenate([perm, jnp.full((1,), n, jnp.int32)])
+    s_hi_ext = jnp.concatenate([s_hi, jnp.full((1,), hs.SENTINEL, jnp.int32)])
+    s_lo_ext = jnp.concatenate([s_lo, jnp.full((1,), hs.SENTINEL, jnp.int32)])
 
     nbr_idx = jnp.zeros((n, k), jnp.int32)
     nbr_valid = jnp.zeros((n, k), bool)
     fill = jnp.zeros((n,), jnp.int32)
 
-    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
-    offs = jnp.array(offsets, jnp.int32)
-
     def body(c, carry):
         nbr_idx, nbr_valid, fill = carry
-        q_cell = cell + offs[c]
-        q_hi, q_lo = hs.pack(batch, jnp.clip(q_cell, 0, hs.COORD_MAX - 1))
-        q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, valid)
-        start = hs.lower_bound(s_hi, s_lo, q_hi, q_lo)  # (N,)
-
-        pos = start[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
-        pos_c = jnp.minimum(pos, n - 1)
-        same_cell = (s_hi[pos_c] == q_hi[:, None]) & (s_lo[pos_c] == q_lo[:, None]) & (pos < n)
-        cand = perm[pos_c]                                      # (N, W)
+        pos = starts[c][:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        pos_c = jnp.minimum(pos, n)
+        same_cell = (s_hi_ext[pos_c] == q_hi.reshape(27, n)[c][:, None]) & \
+                    (s_lo_ext[pos_c] == q_lo.reshape(27, n)[c][:, None]) & (pos < n)
+        cand = perm_ext[pos_c]                                  # (N, W)
         cand_safe = jnp.where(same_cell, cand, n)
         d = coords_ext[cand_safe] - coords[:, None, :]
         ok = same_cell & (jnp.sum(d * d, axis=-1) <= r2) & valid[:, None]

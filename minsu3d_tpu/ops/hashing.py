@@ -100,6 +100,61 @@ def lookup(s_hi: jax.Array, s_lo: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
     return idx, found
 
 
+def lookup_sorted_union(s_hi: jax.Array, s_lo: jax.Array, q_hi: jax.Array, q_lo: jax.Array,
+                        missing: int | None = None):
+    """Batch exact-match lookup via one multi-operand sort (no chained gathers).
+
+    TPU rationale: XLA's random gathers cost ~9ns/element here while sorts are
+    ~5x cheaper per element, so a 19-step binary search per query is ~40x more
+    expensive than sorting the table/query union once. The union is sorted by
+    (khi, klo, tag) with table entries first on ties; a segmented OR-scan then
+    marks queries whose key-run contains a table entry, and the inclusive
+    table-count gives both the matched index and the upper bound.
+
+    Returns (idx, found, upper_bound):
+      * idx: index of the matching table entry (or ``missing``)
+      * found: exact-match flag
+      * upper_bound: index of the first table entry with key > query
+        (lower_bound(k) can be had by querying k-1).
+    """
+    cap = s_hi.shape[0]
+    nq = q_hi.shape[0]
+    if missing is None:
+        missing = cap
+    khi = jnp.concatenate([s_hi, q_hi])
+    klo = jnp.concatenate([s_lo, q_lo])
+    tag = jnp.concatenate([jnp.zeros(cap, jnp.int32), jnp.ones(nq, jnp.int32)])
+    payload = jnp.concatenate([jnp.zeros(cap, jnp.int32), jnp.arange(nq, dtype=jnp.int32)])
+    khi, klo, tag, payload = jax.lax.sort((khi, klo, tag, payload), num_keys=3)
+
+    is_table = tag == 0
+    cnt = jnp.cumsum(is_table.astype(jnp.int32))          # tables at positions <= p
+
+    # found[p] = exists table entry j<p with key[j]==key[p] (same run)
+    prev_hi = jnp.concatenate([jnp.full((1,), -(2**31), jnp.int32), khi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -(2**31), jnp.int32), klo[:-1]])
+    eq_prev = (khi == prev_hi) & (klo == prev_lo)
+    prev_table = jnp.concatenate([jnp.zeros(1, bool), is_table[:-1]])
+    seed = eq_prev & prev_table
+
+    def combine(a, b):
+        ea, fa = a
+        eb, fb = b
+        return ea & eb, fb | (eb & fa)
+
+    _, found_sorted = jax.lax.associative_scan(combine, (eq_prev, seed))
+
+    q_pos = jnp.where(is_table, nq, payload)
+    scatter = lambda v, fill: jnp.full((nq + 1,), fill, v.dtype).at[q_pos].set(v, mode="drop")[:nq]
+    found = scatter(found_sorted, False)
+    idx_last = scatter(jnp.maximum(cnt - 1, 0), 0)
+    ub = scatter(cnt, 0)
+    sentinel_q = q_hi == SENTINEL
+    found = found & ~sentinel_q
+    idx = jnp.where(found, idx_last, missing)
+    return idx, found, ub
+
+
 def unique_sorted(s_hi: jax.Array, s_lo: jax.Array, valid_sorted: jax.Array):
     """First-occurrence mask + compaction ids over sorted (possibly dup) keys.
 

@@ -111,7 +111,8 @@ def add_neighbors(level: Level) -> Level:
     q_hi, q_lo = hs.pack(jnp.broadcast_to(level.batch[None, :], q.shape[:2]),
                          jnp.clip(q, 0, hs.COORD_MAX - 1))
     q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_range)
-    idx, _ = hs.lookup(level.khi, level.klo, q_hi.reshape(-1), q_lo.reshape(-1), missing=cap)
+    idx, _, _ = hs.lookup_sorted_union(level.khi, level.klo,
+                                       q_hi.reshape(-1), q_lo.reshape(-1), missing=cap)
     idx = idx.reshape(26, cap).astype(jnp.int32)
 
     center = jnp.where(level.valid, jnp.arange(cap, dtype=jnp.int32), cap)

@@ -1,0 +1,193 @@
+"""Golden tests: sorted-union lookup, ball query, connected components, and
+segment/IoU ops vs exact NumPy implementations of the reference semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minsu3d_tpu.ops import hashing as hs
+from minsu3d_tpu.ops import segment
+from minsu3d_tpu.ops.ballquery import ball_query
+from minsu3d_tpu.ops.cluster import cluster_points, compact_labels, connected_components
+from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou, get_mask_label
+
+
+class TestLookupSortedUnion:
+    def test_matches_binary_search(self):
+        rng = np.random.default_rng(0)
+        v, q = 500, 2000
+        s_lo = np.sort(rng.choice(2**20, v, replace=False)).astype(np.int32)
+        s_hi = np.zeros(v, np.int32)
+        q_lo = (s_lo[rng.integers(0, v, q)] + rng.integers(-1, 2, q)).astype(np.int32)
+        q_hi = np.zeros(q, np.int32)
+
+        idx, found, ub = hs.lookup_sorted_union(
+            jnp.array(s_hi), jnp.array(s_lo), jnp.array(q_hi), jnp.array(q_lo))
+        ref_ub = np.searchsorted(s_lo, q_lo, side="right")
+        ref_found = np.isin(q_lo, s_lo)
+        np.testing.assert_array_equal(np.asarray(ub), ref_ub)
+        np.testing.assert_array_equal(np.asarray(found), ref_found)
+        matched = np.asarray(idx)[ref_found]
+        np.testing.assert_array_equal(s_lo[matched], q_lo[ref_found])
+
+    def test_multi_batch_keys(self):
+        rng = np.random.default_rng(1)
+        keys = sorted({(int(rng.integers(0, 3)), int(rng.integers(0, 50))) for _ in range(200)})
+        s_hi = jnp.array([k[0] for k in keys], jnp.int32)
+        s_lo = jnp.array([k[1] for k in keys], jnp.int32)
+        q = [(b, x) for b in range(3) for x in range(50)]
+        q_hi = jnp.array([t[0] for t in q], jnp.int32)
+        q_lo = jnp.array([t[1] for t in q], jnp.int32)
+        idx, found, _ = hs.lookup_sorted_union(s_hi, s_lo, q_hi, q_lo)
+        ref = np.array([t in set(keys) for t in q])
+        np.testing.assert_array_equal(np.asarray(found), ref)
+        f = np.asarray(found)
+        np.testing.assert_array_equal(np.asarray(s_hi)[np.asarray(idx)[f]], np.asarray(q_hi)[f])
+        np.testing.assert_array_equal(np.asarray(s_lo)[np.asarray(idx)[f]], np.asarray(q_lo)[f])
+
+
+def np_ball_graph(coords, batch, valid, radius):
+    """Exact dense ball graph (reference ballquery_batch_p semantics)."""
+    n = len(coords)
+    adj = np.zeros((n, n), bool)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        d = np.linalg.norm(coords - coords[i], axis=1)
+        adj[i] = (d <= radius) & (batch == batch[i]) & valid
+    return adj
+
+
+def np_connected_components(adj, group=None):
+    n = adj.shape[0]
+    label = np.full(n, -1)
+    cur = 0
+    for s in range(n):
+        if label[s] != -1 or not adj[s, s]:
+            continue
+        stack = [s]
+        label[s] = cur
+        while stack:
+            u = stack.pop()
+            for v in np.flatnonzero(adj[u]):
+                if label[v] == -1 and (group is None or group[v] == group[u]):
+                    label[v] = cur
+                    stack.append(v)
+        cur += 1
+    return label
+
+
+class TestBallQueryCC:
+    def _setup(self, seed=0, n=300, blobs=5):
+        rng = np.random.default_rng(seed)
+        centers = rng.uniform(0, 2, (blobs, 3))
+        pts = np.concatenate([c + rng.normal(0, 0.01, (n // blobs, 3)) for c in centers])
+        batch = np.zeros(len(pts), np.int32)
+        valid = np.ones(len(pts), bool)
+        return pts.astype(np.float32), batch, valid
+
+    def test_neighbors_within_radius(self):
+        pts, batch, valid = self._setup()
+        r = 0.05
+        idx, ok = ball_query(jnp.array(pts), jnp.array(batch), jnp.array(valid), r, 16, 16)
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        n = len(pts)
+        for i in range(0, n, 17):
+            nbrs = idx[i][ok[i]]
+            d = np.linalg.norm(pts[nbrs] - pts[i], axis=1)
+            assert (d <= r + 1e-5).all()
+
+    def test_cc_membership_matches_bfs(self):
+        pts, batch, valid = self._setup(seed=3)
+        r = 0.05
+        clus = cluster_points(jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                              None, r, 16, 16, 64)
+        got = np.asarray(clus.point_cluster)
+        adj = np_ball_graph(pts, batch, valid, r)
+        ref = np_connected_components(adj)
+        # same partition (up to relabeling)
+        for lab in np.unique(ref):
+            members = np.flatnonzero(ref == lab)
+            assert len(np.unique(got[members])) == 1, "reference cluster split"
+        for lab in np.unique(got):
+            members = np.flatnonzero(got == lab)
+            assert len(np.unique(ref[members])) == 1, "clusters merged"
+
+    def test_cc_respects_group_and_batch(self):
+        pts = np.array([[0, 0, 0], [0.01, 0, 0], [0.02, 0, 0], [0.03, 0, 0]], np.float32)
+        batch = jnp.array([0, 0, 0, 0], jnp.int32)
+        valid = jnp.ones(4, bool)
+        group = jnp.array([1, 1, 2, 2], jnp.int32)
+        idx, ok = ball_query(jnp.array(pts), batch, valid, 0.05, 8, 8)
+        label = connected_components(idx, ok, jnp.asarray(valid), group)
+        lab = np.asarray(label)
+        assert lab[0] == lab[1] and lab[2] == lab[3] and lab[0] != lab[2]
+
+        batch2 = jnp.array([0, 1, 0, 1], jnp.int32)
+        idx, ok = ball_query(jnp.array(pts), batch2, valid, 0.05, 8, 8)
+        label = connected_components(idx, ok, jnp.asarray(valid), None)
+        lab = np.asarray(label)
+        assert lab[0] == lab[2] and lab[1] == lab[3] and lab[0] != lab[1]
+
+    def test_compact_labels_sizes(self):
+        label = jnp.array([5, 5, 2, 2, 2, 9, 9, 9, 9], jnp.int32)
+        active = jnp.ones(9, bool)
+        clus = compact_labels(label, active, 8)
+        assert int(clus.count) == 3
+        sizes = sorted(np.asarray(clus.sizes)[np.asarray(clus.valid)].tolist())
+        assert sizes == [2, 3, 4]
+
+
+class TestSegmentOps:
+    def test_sec_mean_min_max_roipool(self):
+        rng = np.random.default_rng(0)
+        n, s = 50, 5
+        data = rng.normal(size=(n, 4)).astype(np.float32)
+        seg = rng.integers(0, s, n).astype(np.int32)
+        valid = rng.random(n) > 0.2
+        segj = jnp.where(jnp.array(valid), jnp.array(seg), s)
+        for fn, npfn in [(segment.sec_mean, np.mean), (segment.sec_min, np.min),
+                         (segment.sec_max, np.max), (segment.roipool, np.max),
+                         (segment.global_avg_pool, np.mean)]:
+            out = np.asarray(fn(jnp.array(data), segj, jnp.array(valid), s))
+            for k in range(s):
+                rows = data[(seg == k) & valid]
+                if len(rows):
+                    np.testing.assert_allclose(out[k], npfn(rows, axis=0), rtol=1e-5, atol=1e-6)
+
+
+class TestInstanceIoU:
+    def _rows(self, assign, valid=None):
+        n = len(assign)
+        valid = np.ones(n, bool) if valid is None else valid
+        return ProposalRows(
+            point_idx=jnp.arange(n, dtype=jnp.int32),
+            prop_id=jnp.array(assign, jnp.int32),
+            valid=jnp.array(valid),
+            n_proposals=jnp.int32(int(np.max(assign)) + 1),
+        )
+
+    def test_get_iou_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        n, p, i = 200, 4, 3
+        assign = rng.integers(0, p, n)
+        inst = rng.integers(-1, i, n).astype(np.int32)
+        inst_np = np.array([(inst == k).sum() for k in range(i)], np.int32)
+        rows = self._rows(assign)
+        iou = np.asarray(get_iou(rows, p, jnp.array(inst), jnp.array(inst_np), i))
+        for pp in range(p):
+            for ii in range(i):
+                inter = ((assign == pp) & (inst == ii)).sum()
+                expect = inter / ((assign == pp).sum() + inst_np[ii] - inter + 1e-5)
+                np.testing.assert_allclose(iou[pp, ii], expect, rtol=1e-5)
+
+    def test_get_mask_label(self):
+        # proposal 0 overlaps instance 0 with IoU 1.0; proposal 1 nothing
+        inst = jnp.array([0, 0, 0, -1, -1, -1], jnp.int32)
+        assign = np.array([0, 0, 0, 1, 1, 1])
+        rows = self._rows(assign)
+        iou = get_iou(rows, 2, inst, jnp.array([3, 0], jnp.int32), 2)
+        label, ok = get_mask_label(rows, 2, inst, jnp.array([4, -1], jnp.int32), iou, 0.5)
+        label, ok = np.asarray(label), np.asarray(ok)
+        assert ok[:3].all() and not ok[3:].any()
+        assert label[:3].all()
