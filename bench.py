@@ -13,8 +13,12 @@ import json
 import sys
 import time
 
-import jax
-import numpy as np
+from minsu3d_tpu.util.env import setup_jax_cache
+
+setup_jax_cache()  # must run before jax reads its config env vars
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_SCENES_PER_SEC = 1000.0 / 176.0  # official PointGroup, RTX 2080 Ti
 

@@ -170,6 +170,26 @@ class GeneralDataset:
         }
 
 
+class Synthetic(GeneralDataset):
+    """Procedural scenes generated in memory (data=synthetic) — smoke runs,
+    benchmarks, and CI without a dataset on disk."""
+
+    def _load_from_disk(self):
+        from minsu3d_tpu.data.synthetic import make_scene
+
+        s = self.cfg.data.synthetic
+        counts = {"train": s.train_scenes, "val": s.val_scenes, "test": s.test_scenes}
+        base = {"train": 0, "val": 10_000, "test": 20_000}[self.split]
+        n = counts[self.split]
+        self.scene_names = [f"synth_{self.split}{i:04d}" for i in range(n)]
+        self.scenes = [
+            self._normalize(make_scene(
+                seed=s.seed + base + i, num_objects=s.num_objects,
+                points_per_object=s.points_per_object, floor_points=s.floor_points))
+            for i in range(n)
+        ]
+
+
 class ScanNetv2(GeneralDataset):
     """reference minsu3d/data/dataset/scannetv2.py:4-7"""
 
@@ -182,4 +202,5 @@ class MultiScanPart(GeneralDataset):
     """reference minsu3d/data/dataset/multiscan_part.py"""
 
 
-DATASETS = {"ScanNetv2": ScanNetv2, "MultiScanObj": MultiScanObj, "MultiScanPart": MultiScanPart}
+DATASETS = {"ScanNetv2": ScanNetv2, "MultiScanObj": MultiScanObj,
+            "MultiScanPart": MultiScanPart, "Synthetic": Synthetic}

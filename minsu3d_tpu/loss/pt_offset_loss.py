@@ -8,8 +8,10 @@ import jax.numpy as jnp
 
 
 def _l2_normalize(x: jax.Array, eps: float) -> jax.Array:
-    # torch F.normalize: x / max(||x||, eps)
-    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    # torch F.normalize: x / max(||x||, eps). The 1e-20 inside the sqrt keeps
+    # its gradient finite at exactly-zero vectors (points at their instance
+    # centroid) without measurably changing the value.
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-20)
     return x / jnp.maximum(norm, eps)
 
 
@@ -23,8 +25,13 @@ def pt_offset_loss(pred_offsets: jax.Array, gt_offsets: jax.Array, valid_mask: j
     dist = jnp.sum(jnp.abs(pred_offsets - gt_offsets), axis=-1)
     norm_loss = jnp.sum(dist * m) / safe
 
-    gt_n = _l2_normalize(gt_offsets, eps)
-    pr_n = _l2_normalize(pred_offsets, eps)
+    # double-where: masked rows must not reach sqrt(0) — its grad is inf,
+    # and inf * 0 mask = NaN in the backward pass
+    ones = jnp.ones_like(pred_offsets)
+    gt_safe = jnp.where(valid_mask[:, None], gt_offsets, ones)
+    pr_safe = jnp.where(valid_mask[:, None], pred_offsets, ones)
+    gt_n = _l2_normalize(gt_safe, eps)
+    pr_n = _l2_normalize(pr_safe, eps)
     dir_loss = jnp.sum(-jnp.sum(gt_n * pr_n, axis=-1) * m) / safe
 
     has = count > 0

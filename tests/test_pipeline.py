@@ -1,0 +1,96 @@
+"""Oracle pipeline test: feed GT-derived semantics/offsets through the
+clustering -> proposals -> prediction-extraction -> evaluation chain and
+expect near-perfect AP. Validates the whole instance pipeline independent of
+network training."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from helpers import tiny_cfg, make_batch
+from minsu3d_tpu.evaluation.instance_segmentation import (
+    GeneralDatasetEvaluator, get_gt_instances)
+from minsu3d_tpu.model.pointgroup import (
+    foreground_mask, merge_clusterings, pred_instances)
+from minsu3d_tpu.ops.cluster import cluster_points
+from minsu3d_tpu.ops.instance_iou import get_iou
+
+
+def oracle_outputs(batch):
+    """Semantic one-hots + exact offsets from gt."""
+    sem = np.asarray(batch["sem_labels"])
+    n = sem.shape[0]
+    scores = np.full((n, 20), -10.0, np.float32)
+    scores[np.arange(n), np.clip(sem, 0, 19)] = 10.0
+    offsets = np.asarray(batch["instance_center_xyz"]) - np.asarray(batch["point_xyz"])
+    offsets[np.asarray(batch["instance_ids"]) < 0] = 0
+    return scores, offsets.astype(np.float32)
+
+
+class TestOraclePointGroup:
+    def test_clustering_recovers_instances(self):
+        cfg = tiny_cfg()
+        batch, arrays, items = make_batch(cfg, "val", 1, seed=7)
+        sem_scores, offsets = oracle_outputs(batch)
+        sem_preds = jnp.array(sem_scores.argmax(1).astype(np.int32))
+        obj = foreground_mask(sem_preds, jnp.array(batch["point_mask"]),
+                              tuple(cfg.data.ignore_classes))
+        xyz = jnp.array(batch["point_xyz"])
+        shifted = xyz + jnp.array(offsets)
+        bids = jnp.array(batch["vert_batch_ids"])
+
+        radius = cfg.model.network.cluster.cluster_radius
+        thr = cfg.model.network.cluster.cluster_npoint_thre
+        c = cfg.data.caps
+        clus = cluster_points(xyz, bids, obj, sem_preds, radius,
+                              c.neighbors, c.cell_window, c.clusters)
+        clus_shift = cluster_points(shifted, bids, obj, sem_preds, radius,
+                                    c.neighbors, c.cell_window, c.clusters)
+        rows = merge_clusterings([clus, clus_shift], [thr, thr],
+                                 xyz.shape[0], c.proposals)
+        n_props = int(rows.n_proposals)
+        n_inst = int(batch["num_instance"])
+        assert n_props >= n_inst, f"proposals {n_props} < instances {n_inst}"
+
+        # every gt instance should have a proposal with IoU ~1 (shifted path)
+        ious = np.asarray(get_iou(rows, c.proposals, jnp.array(batch["instance_ids"]),
+                                  jnp.array(batch["instance_num_point"]), c.instances))
+        best_per_inst = ious[:, :n_inst].max(0)
+        assert (best_per_inst > 0.85).all(), best_per_inst
+
+    def test_oracle_ap_near_perfect(self):
+        cfg = tiny_cfg()
+        batch, arrays, items = make_batch(cfg, "val", 1, seed=11)
+        sem_scores, offsets = oracle_outputs(batch)
+        sem_preds = jnp.array(sem_scores.argmax(1).astype(np.int32))
+        obj = foreground_mask(sem_preds, jnp.array(batch["point_mask"]),
+                              tuple(cfg.data.ignore_classes))
+        xyz = jnp.array(batch["point_xyz"])
+        shifted = xyz + jnp.array(offsets)
+        bids = jnp.array(batch["vert_batch_ids"])
+        c = cfg.data.caps
+        radius = cfg.model.network.cluster.cluster_radius
+        thr = cfg.model.network.cluster.cluster_npoint_thre
+        clus = cluster_points(xyz, bids, obj, sem_preds, radius,
+                              c.neighbors, c.cell_window, c.clusters)
+        clus_shift = cluster_points(shifted, bids, obj, sem_preds, radius,
+                                    c.neighbors, c.cell_window, c.clusters)
+        rows = merge_clusterings([clus, clus_shift], [thr, thr],
+                                 xyz.shape[0], c.proposals)
+
+        n = int(batch["num_points"])
+        out_np = {
+            "semantic_scores": sem_scores[:n],
+            "proposal_scores": np.full(c.proposals, 5.0, np.float32),
+            "proposal_rows": {f: np.asarray(getattr(rows, f)) for f in rows._fields},
+        }
+        preds = pred_instances(cfg, "scene0", np.asarray(batch["point_xyz"])[:n],
+                               out_np, len(cfg.data.ignore_classes))
+        assert preds, "no predictions extracted"
+
+        gts = get_gt_instances(np.asarray(batch["sem_labels"])[:n],
+                               np.asarray(batch["instance_ids"])[:n],
+                               cfg.data.ignore_classes)
+        ev = GeneralDatasetEvaluator(cfg.data.class_names, -1, cfg.data.ignore_classes)
+        res = ev.evaluate([preds], [gts])
+        assert res["all_ap_50%"] > 0.95, res["all_ap_50%"]
+        assert res["all_ap_25%"] > 0.95, res["all_ap_25%"]

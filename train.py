@@ -9,6 +9,10 @@ import sys
 
 import numpy as np
 
+from minsu3d_tpu.util.env import setup_jax_cache
+
+setup_jax_cache()
+
 from minsu3d_tpu.config import load_config
 from minsu3d_tpu.data.datamodule import DataModule
 from minsu3d_tpu.trainer import Trainer
