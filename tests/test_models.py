@@ -1,0 +1,106 @@
+"""Forward+loss smoke for HAIS and SoftGroup (PointGroup is covered by the
+trainer and oracle-pipeline tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_cfg, make_batch
+from minsu3d_tpu.model import get_model
+from minsu3d_tpu.model.caps import StaticCaps
+
+
+@pytest.mark.parametrize("name", ["HAIS", "SoftGroup"])
+def test_forward_and_losses_finite(name):
+    cfg = tiny_cfg(name.lower())
+    batch, arrays, items = make_batch(cfg, "train", 2)
+    bundle = get_model(name)
+    net = bundle.make_net(cfg, "train")
+    caps = StaticCaps.from_cfg(cfg, "train")
+    key = jax.random.PRNGKey(0)
+    fflags = bundle.forward_flags(cfg, 999, True)
+    lflags = bundle.loss_flags(cfg, 999)
+
+    init = jax.jit(lambda k, b: net.init({"params": k, "cluster": k}, b, True, True, **fflags))
+    variables = init(key, arrays)
+
+    @jax.jit
+    def run(v, b, k):
+        out, _ = net.apply(v, b, True, True, **fflags,
+                           rngs={"cluster": k}, mutable=["batch_stats"])
+        return bundle.losses(cfg, caps, b, out, True, **lflags)
+
+    losses = run(variables, arrays, key)
+    vals = {k2: float(v) for k2, v in losses.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    assert vals["semantic_loss"] > 0
+
+
+def test_hais_aggregation_semantics():
+    """Kept/primary/absorb logic on a hand-built clustering."""
+    from minsu3d_tpu.model.hais import hierarchical_aggregation
+    from minsu3d_tpu.ops.cluster import Clusters
+
+    # 3 clusters, one class (id 3): sizes 100 (primary), 20 (kept+absorbable),
+    # 2 (fragment only, absorbed if near)
+    n = 122
+    pc = np.concatenate([np.zeros(100), np.ones(20), np.full(2, 2)]).astype(np.int32)
+    shifted = np.zeros((n, 3), np.float32)
+    shifted[100:120] += 0.05   # kept cluster near primary
+    shifted[120:] += 10.0      # far fragment: not absorbed
+    c_cap = 8
+    clus = Clusters(
+        point_cluster=jnp.array(pc),
+        sizes=jnp.array([100, 20, 2, 0, 0, 0, 0, 0], jnp.int32),
+        valid=jnp.array([True, True, True] + [False] * 5),
+        count=jnp.int32(3),
+    )
+    sem = jnp.full(n, 3, jnp.int32)
+    bid = jnp.zeros(n, jnp.int32)
+    active = jnp.ones(n, bool)
+    # class 3: mean 100 -> high=30, low=5: sizes 100=primary, 20=kept, 2=frag
+    pna = jnp.full(20, 100.0)
+    ra = jnp.full(20, 1.0)
+
+    rows = hierarchical_aggregation(clus, jnp.array(shifted), bid, sem, active,
+                                    pna, ra, 16, use_set_aggr=True)
+    n_props = int(rows.n_proposals)
+    assert n_props == 2  # kept(20) + primary(100)
+    pid = np.asarray(rows.prop_id)
+    valid = np.asarray(rows.valid)
+    # kept-path rows: the 20 mid points form proposal 0
+    assert set(pid[:n][valid[:n]]) == {0}
+    assert valid[:100].sum() == 0 and valid[100:120].sum() == 20
+    # primary-path rows: primary(100) + absorbed kept(20); far frag dropped
+    pid2, valid2 = pid[n:], valid[n:]
+    assert set(pid2[valid2]) == {1}
+    assert valid2[:100].all() and valid2[100:120].all() and not valid2[120:].any()
+
+
+def test_softgroup_grouping_merges_classes():
+    from minsu3d_tpu.model.softgroup import soft_grouping
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    cfg = tiny_cfg("softgroup")
+    caps = StaticCaps.from_cfg(cfg, "train")
+    rng = np.random.default_rng(0)
+    # two blobs; blob A confident class 2, blob B class 3
+    n = 400
+    pts = np.concatenate([rng.normal(0, 0.01, (200, 3)),
+                          rng.normal(5, 0.01, (200, 3))]).astype(np.float32)
+    softmax = np.zeros((n, 20), np.float32)
+    softmax[:200, 2] = 0.9
+    softmax[200:, 3] = 0.9
+    rows = soft_grouping(
+        jnp.array(softmax), jnp.array(pts), jnp.zeros(n, jnp.int32),
+        jnp.ones(n, bool), tuple(range(2, 20)), 0.2, 0.04,
+        0.05, jnp.full(20, 100.0), 100, 200, caps)
+    assert int(rows.n_proposals) == 2
+    pid = np.asarray(rows.prop_id)
+    valid = np.asarray(rows.valid)
+    pt = np.asarray(rows.point_idx)
+    # each blob in exactly one proposal
+    a = set(pid[valid & (pt < 200)])
+    b = set(pid[valid & (pt >= 200)])
+    assert len(a) == 1 and len(b) == 1 and a != b
