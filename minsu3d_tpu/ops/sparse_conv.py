@@ -47,7 +47,7 @@ def ext_zero(feats: jax.Array) -> jax.Array:
 
 
 def subm_conv(feats: jax.Array, level: Level, weight: jax.Array,
-              compute_dtype=None, tap_group: int = 9) -> jax.Array:
+              compute_dtype=None, tap_group: int = 27) -> jax.Array:
     """3^3 submanifold convolution. feats (V, Cin), weight (27, Cin, Cout)."""
     v, cin = feats.shape
     cout = weight.shape[-1]

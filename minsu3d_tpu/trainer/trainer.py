@@ -140,11 +140,23 @@ class Trainer:
         return self.epoch > self.cfg.model.network.prepare_epochs
 
     # -- loops -----------------------------------------------------------------
+    def sanity_validate(self, num_steps: int) -> None:
+        """Run a few val batches before training starts (reference
+        num_sanity_val_steps, config/model/base.yaml:18)."""
+        fwd = self._eval_forward(self.heads_active)
+        for i, (_, batch, _) in enumerate(self.dm.eval_batches("val")):
+            if i >= num_steps or self.params is None:
+                break
+            jax.block_until_ready(fwd(self.params, self.batch_stats, batch))
+
     def fit(self, max_epochs: int | None = None) -> None:
         cfg = self.cfg
         max_epochs = max_epochs or cfg.model.trainer.max_epochs
         check_every = cfg.model.trainer.check_val_every_n_epoch
         seed = cfg.get("global_train_seed", 123)
+        profile_dir = None
+        if cfg.model.trainer.get("profiler") == "trace" and cfg.get("exp_output_root_path"):
+            profile_dir = os.path.join(cfg.exp_output_root_path, "profile")
 
         first = True
         while self.epoch < max_epochs:
@@ -156,6 +168,11 @@ class Trainer:
             for batch in self.dm.train_batches(self.num_shards, seed + self.epoch):
                 if first:
                     self.init_params(batch, seed)
+                    sanity = cfg.model.trainer.get("num_sanity_val_steps", 0)
+                    if sanity and self.epoch == 0:
+                        self.sanity_validate(sanity)
+                    if profile_dir:
+                        jax.profiler.start_trace(profile_dir)
                     first = False
                 self._set_lr(lr)
                 step = self._train_step(self.heads_active)
@@ -173,6 +190,9 @@ class Trainer:
                            if k.startswith("train/")) + f" lr={lr:.2e}", flush=True)
 
             self.epoch += 1
+            if profile_dir and self.epoch == 1:
+                jax.profiler.stop_trace()  # trace covers the first epoch
+                profile_dir = None
             if self.epoch % check_every == 0:
                 self.validate()
                 self.save_checkpoint()

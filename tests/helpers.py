@@ -24,6 +24,7 @@ TINY_CAPS = [
     "model.network.blocks=[1,2,3]",
     "model.network.m=8",
     "model.network.block_reps=1",
+    "model.trainer.num_sanity_val_steps=0",  # avoid extra eval-graph compiles
 ]
 
 
