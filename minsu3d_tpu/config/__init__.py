@@ -99,35 +99,34 @@ def _interpolate(root: ConfigDict) -> None:
     """Resolve ${...} references in-place, iterating until fixpoint."""
 
     def resolve_value(v: Any) -> Any:
+        # Hydra resolves lazily; unresolvable references stay as-is here and
+        # only fail if something downstream actually uses them.
         if not isinstance(v, str):
             return v
-        full = _INTERP_RE.fullmatch(v)
-        if full:  # whole-string reference keeps the referenced type
-            return _resolve_path(root, full.group(1))
-        return _INTERP_RE.sub(lambda m: str(_resolve_path(root, m.group(1))), v)
+        try:
+            full = _INTERP_RE.fullmatch(v)
+            if full:  # whole-string reference keeps the referenced type
+                return _resolve_path(root, full.group(1))
+            return _INTERP_RE.sub(lambda m: str(_resolve_path(root, m.group(1))), v)
+        except (KeyError, IndexError, TypeError):
+            return v
 
     def walk(node: Any) -> bool:
         changed = False
-        if isinstance(node, dict):
-            for k, v in node.items():
-                if isinstance(v, (dict, list)):
-                    changed |= walk(v)
-                elif isinstance(v, str) and _INTERP_RE.search(v):
-                    node[k] = resolve_value(v)
-                    changed = True
-        elif isinstance(node, list):
-            for i, v in enumerate(node):
-                if isinstance(v, (dict, list)):
-                    changed |= walk(v)
-                elif isinstance(v, str) and _INTERP_RE.search(v):
-                    node[i] = resolve_value(v)
+        items = node.items() if isinstance(node, dict) else enumerate(node)
+        for k, v in items:
+            if isinstance(v, (dict, list)):
+                changed |= walk(v)
+            elif isinstance(v, str) and _INTERP_RE.search(v):
+                new = resolve_value(v)
+                if new is not v and new != v:
+                    node[k] = new
                     changed = True
         return changed
 
     for _ in range(10):
         if not walk(root):
             return
-    raise ValueError("Unresolvable (circular?) config interpolation")
 
 
 def _parse_scalar(s: str) -> Any:
