@@ -130,19 +130,15 @@ def lookup_sorted_union(s_hi: jax.Array, s_lo: jax.Array, q_hi: jax.Array, q_lo:
     is_table = tag == 0
     cnt = jnp.cumsum(is_table.astype(jnp.int32))          # tables at positions <= p
 
-    # found[p] = exists table entry j<p with key[j]==key[p] (same run)
+    # found[p] = exists table entry j<=p in the same equal-key run. Key runs
+    # are numbered by run_id (non-decreasing); the latest table entry's run_id
+    # up to p is then a simple cummax — no gathers, no associative scan.
     prev_hi = jnp.concatenate([jnp.full((1,), -(2**31), jnp.int32), khi[:-1]])
     prev_lo = jnp.concatenate([jnp.full((1,), -(2**31), jnp.int32), klo[:-1]])
-    eq_prev = (khi == prev_hi) & (klo == prev_lo)
-    prev_table = jnp.concatenate([jnp.zeros(1, bool), is_table[:-1]])
-    seed = eq_prev & prev_table
-
-    def combine(a, b):
-        ea, fa = a
-        eb, fb = b
-        return ea & eb, fb | (eb & fa)
-
-    _, found_sorted = jax.lax.associative_scan(combine, (eq_prev, seed))
+    new_run = (khi != prev_hi) | (klo != prev_lo)
+    run_id = jnp.cumsum(new_run.astype(jnp.int32))
+    latest_table_run = jax.lax.cummax(jnp.where(is_table, run_id, -1))
+    found_sorted = latest_table_run == run_id
 
     q_pos = jnp.where(is_table, nq, payload)
     scatter = lambda v, fill: jnp.full((nq + 1,), fill, v.dtype).at[q_pos].set(v, mode="drop")[:nq]
