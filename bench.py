@@ -36,7 +36,7 @@ def main() -> None:
         "data.caps.eval_points=163840",
         "data.caps.eval_voxels=131072",
         "data.caps.eval_instances=64",
-        "data.caps.proposal_voxels=131072",
+        "data.caps.cluster_units=65536",
         "model.trainer.precision=bfloat16",
     ])
 

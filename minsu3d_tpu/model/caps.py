@@ -14,6 +14,8 @@ class StaticCaps(NamedTuple):
     window: int                # ball-query per-cell scan window
     cc_iters: int              # max label-propagation sweeps
     proposal_voxel_caps: tuple # proposal mini-grid capacities (TinyUnet levels)
+    cluster_units: int         # (voxel, class) unit capacity
+    unit_clustering: bool      # cluster at unit (True) or point granularity
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -21,6 +23,7 @@ class StaticCaps(NamedTuple):
         v = caps.voxels if split == "train" else caps.eval_voxels
         inst = caps.instances if split == "train" else caps.eval_instances
         n_levels = len(cfg.model.network.blocks)
+        points = caps.points if split == "train" else caps.eval_points
         return cls(
             voxel_caps=tuple(max(v // d, 1024) for d in caps.level_divisors[:n_levels]),
             instances=inst,
@@ -30,4 +33,6 @@ class StaticCaps(NamedTuple):
             window=caps.cell_window,
             cc_iters=caps.cc_iters,
             proposal_voxel_caps=(caps.proposal_voxels, max(caps.proposal_voxels // 2, 1024)),
+            cluster_units=min(caps.get("cluster_units", 65536), points),
+            unit_clustering=caps.get("cluster_granularity", "unit") == "unit",
         )

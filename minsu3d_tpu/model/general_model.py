@@ -35,6 +35,30 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
     return plan, v2p, voxel_feats
 
 
+def make_units(key_hi: jax.Array, key_lo: jax.Array, active: jax.Array, u_cap: int) -> jax.Array:
+    """Compact (key_hi, key_lo) pairs of active points into unit ids [0, u_cap).
+
+    Used to form (voxel, predicted-class) clustering units (see
+    ops/cluster.py::cluster_units). Returns per-point unit id (u_cap = none).
+    """
+    coords = jnp.stack([jnp.clip(key_lo, 0, 1023),
+                        jnp.zeros_like(key_lo), jnp.zeros_like(key_lo)], axis=1)
+    _, row2unit, _ = sparse.build_base(key_hi, coords, active, u_cap)
+    return row2unit
+
+
+def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None):
+    """Dispatch point- or unit-granularity clustering per StaticCaps."""
+    from minsu3d_tpu.ops.cluster import cluster_points, cluster_units
+
+    if unit_id is not None and caps.unit_clustering:
+        return cluster_units(coords, batch_ids, active, group, unit_id,
+                             caps.cluster_units, radius, caps.neighbors,
+                             caps.window, caps.clusters, caps.cc_iters)
+    return cluster_points(coords, batch_ids, active, group, radius,
+                          caps.neighbors, caps.window, caps.clusters, caps.cc_iters)
+
+
 def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:
     """Piecewise-linear soft targets (reference general_model.py:196-213)."""
     fg = scores > fg_thresh

@@ -23,7 +23,7 @@ from minsu3d_tpu.model.module import Backbone
 from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
 from minsu3d_tpu.model.pointgroup import foreground_mask
 from minsu3d_tpu.ops import segment
-from minsu3d_tpu.ops.cluster import Clusters, cluster_points
+from minsu3d_tpu.ops.cluster import Clusters
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou, get_mask_label
 
 
@@ -129,8 +129,9 @@ class HAISNet(nn.Module):
         shifted = batch["point_xyz"] + jax.lax.stop_gradient(out["point_offsets"])
         bids = batch["vert_batch_ids"]
 
-        clus = cluster_points(shifted, bids, obj, sem_preds, self.point_aggr_radius,
-                              c.neighbors, c.window, c.clusters, c.cc_iters)
+        units = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
+        clus = gm.cluster_step(shifted, bids, obj, sem_preds,
+                               self.point_aggr_radius, c, units)
         rows = hierarchical_aggregation(
             clus, shifted, bids, sem_preds, obj,
             jnp.array(self.point_num_avg, jnp.float32),

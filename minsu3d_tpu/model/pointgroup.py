@@ -21,7 +21,7 @@ from minsu3d_tpu.model.caps import StaticCaps
 from minsu3d_tpu.model.module import Backbone
 from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
 from minsu3d_tpu.ops import segment
-from minsu3d_tpu.ops.cluster import Clusters, cluster_points
+from minsu3d_tpu.ops.cluster import Clusters
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou
 
 
@@ -96,11 +96,11 @@ class PointGroupNet(nn.Module):
         xyz = batch["point_xyz"]
         shifted = xyz + jax.lax.stop_gradient(out["point_offsets"])
         bids = batch["vert_batch_ids"]
+        units = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
 
-        clus = cluster_points(xyz, bids, obj, sem_preds, self.cluster_radius,
-                              c.neighbors, c.window, c.clusters, c.cc_iters)
-        clus_shift = cluster_points(shifted, bids, obj, sem_preds, self.cluster_radius,
-                                    c.neighbors, c.window, c.clusters, c.cc_iters)
+        clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c, units)
+        clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
+                                     self.cluster_radius, c, units)
         rows = merge_clusterings(
             [clus, clus_shift], [self.cluster_npoint_thre] * 2, xyz.shape[0], c.proposals)
         out["proposal_rows"] = rows

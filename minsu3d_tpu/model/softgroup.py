@@ -20,14 +20,14 @@ from minsu3d_tpu.model import general_model as gm
 from minsu3d_tpu.model.caps import StaticCaps
 from minsu3d_tpu.model.module import Backbone
 from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
-from minsu3d_tpu.ops.cluster import cluster_points
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou, get_mask_label
 
 
 def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Array,
                   point_mask: jax.Array, fg_class_ids: tuple, score_thr: float,
                   radius: float, npoint_thr: float, point_num_avg: jax.Array,
-                  min_npoint: int, max_proposal_num: int, caps: StaticCaps) -> ProposalRows:
+                  min_npoint: int, max_proposal_num: int, caps: StaticCaps,
+                  p2v: jax.Array | None = None) -> ProposalRows:
     """Per-class thresholded clustering merged across classes
     (reference softgroup.py:38-83 + sg_bfs_cluster O3)."""
     n = shifted.shape[0]
@@ -38,8 +38,10 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
         active = point_mask & (probs > score_thr)
         enough = jnp.sum(active.astype(jnp.int32)) >= min_npoint  # skip-class rule
         active = active & enough
-        clus = cluster_points(shifted, batch_ids, active, None, radius,
-                              caps.neighbors, caps.window, caps.clusters, caps.cc_iters)
+        units = None
+        if p2v is not None and caps.unit_clustering:
+            units = gm.make_units(p2v, jnp.zeros_like(p2v), active, caps.cluster_units)
+        clus = gm.cluster_step(shifted, batch_ids, active, None, radius, caps, units)
         # class-size-relative threshold (bfs_cluster.cpp:56-187)
         thr = npoint_thr * point_num_avg[class_id]
         ok = clus.valid & (clus.sizes.astype(jnp.float32) >= thr)
@@ -121,7 +123,7 @@ class SoftGroupNet(nn.Module):
             jax.lax.stop_gradient(sem_softmax), shifted, batch["vert_batch_ids"],
             batch["point_mask"], self.fg_class_ids, self.score_thr, self.radius,
             self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
-            self.min_npoint, self.max_proposal_num, c)
+            self.min_npoint, self.max_proposal_num, c, p2v=batch["p2v"])
         r_cap = min(rows.point_idx.shape[0], 2 * batch["point_xyz"].shape[0])
         rows = compact_rows(rows, r_cap)
         out["proposal_rows"] = rows

@@ -191,3 +191,49 @@ class TestInstanceIoU:
         label, ok = np.asarray(label), np.asarray(ok)
         assert ok[:3].all() and not ok[3:].any()
         assert label[:3].all()
+
+
+class TestUnitClustering:
+    def test_unit_vs_point_membership(self):
+        """Unit-granularity CC gives the same point partition as point-level
+        CC when units are fine (2cm voxels vs 3cm ball radius)."""
+        from minsu3d_tpu.model.general_model import make_units
+        from minsu3d_tpu.ops.cluster import cluster_units
+
+        rng = np.random.default_rng(5)
+        blobs = 4
+        pts = np.concatenate([c + rng.normal(0, 0.02, (150, 3))
+                              for c in rng.uniform(0, 3, (blobs, 3))]).astype(np.float32)
+        n = len(pts)
+        batch = jnp.zeros(n, jnp.int32)
+        valid = jnp.ones(n, bool)
+        group = jnp.array(rng.integers(0, 2, n), jnp.int32)  # two classes mixed in blobs
+
+        # units: (2cm voxel, class)
+        vox = np.floor(pts / 0.02).astype(np.int32)
+        vox -= vox.min(0)
+        key = (vox[:, 0].astype(np.int64) * 4096 + vox[:, 1]) * 4096 + vox[:, 2]
+        _, p2v = np.unique(key, return_inverse=True)
+        units = make_units(jnp.array(p2v.astype(np.int32)), group, valid, 512)
+
+        r = 0.06
+        got = np.asarray(cluster_units(jnp.array(pts), batch, valid, group,
+                                       units, 512, r, 16, 16, 64).point_cluster)
+        ref = np.asarray(cluster_points(jnp.array(pts), batch, valid, group,
+                                        r, 32, 32, 64).point_cluster)
+        for lab in np.unique(ref):
+            members = np.flatnonzero(ref == lab)
+            assert len(np.unique(got[members])) == 1
+        for lab in np.unique(got):
+            members = np.flatnonzero(got == lab)
+            assert len(np.unique(ref[members])) == 1
+
+    def test_unit_sizes_count_points(self):
+        from minsu3d_tpu.ops.cluster import cluster_units
+
+        pts = np.zeros((10, 3), np.float32)  # all in one voxel/unit
+        units = jnp.zeros(10, jnp.int32)
+        clus = cluster_units(jnp.array(pts), jnp.zeros(10, jnp.int32),
+                             jnp.ones(10, bool), None, units, 4, 0.05, 8, 8, 16)
+        sizes = np.asarray(clus.sizes)
+        assert sizes[np.asarray(clus.point_cluster)[0]] == 10
