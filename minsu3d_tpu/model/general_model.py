@@ -52,9 +52,10 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None):
     from minsu3d_tpu.ops.cluster import cluster_points, cluster_units
 
     if unit_id is not None and caps.unit_clustering:
+        # units aggregate ~(r/voxel)^3 points, so much smaller K/window suffice
         return cluster_units(coords, batch_ids, active, group, unit_id,
-                             caps.cluster_units, radius, caps.neighbors,
-                             caps.window, caps.clusters, caps.cc_iters)
+                             caps.cluster_units, radius, max(caps.neighbors // 2, 8),
+                             max(caps.window // 4, 8), caps.clusters, caps.cc_iters)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters)
 

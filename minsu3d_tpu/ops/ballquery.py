@@ -25,10 +25,15 @@ _CELL_OFFSET = 512  # recentre cells so negative coords stay in [0, 1024)
 
 
 def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
-               radius: float, k: int, window: int = 32):
+               radius: float, k: int, window: int = 32, half_space: bool = False):
     """Neighbor lists: up to ``k`` same-batch points within ``radius``.
 
     Returns (nbr_idx (N, k) int32, nbr_valid (N, k) bool). Includes self.
+
+    ``half_space=True`` scans only the center + 13 lexicographically-forward
+    cells (half the work); every edge still appears in at least one endpoint's
+    list, which suffices for consumers doing symmetric propagation (the
+    connected-components pass scatter-mins through edges in both directions).
     """
     n = coords.shape[0]
     cell = jnp.floor(coords / radius).astype(jnp.int32) + _CELL_OFFSET
@@ -39,17 +44,20 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     s_hi, s_lo = khi[perm], klo[perm]
 
     offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
-    offs = jnp.array(offsets, jnp.int32)                       # (27, 3)
+    if half_space:
+        offsets = [o for o in offsets if o >= (0, 0, 0)]       # center + 13 forward
+    offs = jnp.array(offsets, jnp.int32)                       # (n_off, 3)
+    n_off = len(offsets)
 
-    # all 27 neighbor-cell run starts in one sorted-union pass:
+    # all neighbor-cell run starts in one sorted-union pass:
     # lower_bound(key) == upper_bound(key - 1)
-    q_cell = cell[None, :, :] + offs[:, None, :]               # (27, N, 3)
+    q_cell = cell[None, :, :] + offs[:, None, :]               # (n_off, N, 3)
     in_rng = jnp.all((q_cell >= 0) & (q_cell < hs.COORD_MAX), axis=-1) & valid[None, :]
-    q_hi, q_lo = hs.pack(jnp.broadcast_to(batch[None, :], (27, n)),
+    q_hi, q_lo = hs.pack(jnp.broadcast_to(batch[None, :], (n_off, n)),
                          jnp.clip(q_cell, 0, hs.COORD_MAX - 1))
     q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_rng)
     _, _, starts = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1) - 1)
-    starts = starts.reshape(27, n)
+    starts = starts.reshape(n_off, n)
 
     r2 = jnp.float32(radius * radius)
     coords_ext = jnp.concatenate([coords, jnp.zeros((1, 3), coords.dtype)], 0)
@@ -65,8 +73,8 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         nbr_idx, nbr_valid, fill = carry
         pos = starts[c][:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
         pos_c = jnp.minimum(pos, n)
-        same_cell = (s_hi_ext[pos_c] == q_hi.reshape(27, n)[c][:, None]) & \
-                    (s_lo_ext[pos_c] == q_lo.reshape(27, n)[c][:, None]) & (pos < n)
+        same_cell = (s_hi_ext[pos_c] == q_hi.reshape(n_off, n)[c][:, None]) & \
+                    (s_lo_ext[pos_c] == q_lo.reshape(n_off, n)[c][:, None]) & (pos < n)
         cand = perm_ext[pos_c]                                  # (N, W)
         cand_safe = jnp.where(same_cell, cand, n)
         d = coords_ext[cand_safe] - coords[:, None, :]
@@ -82,5 +90,5 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         fill = jnp.minimum(fill + prefix[:, -1], k)
         return nbr_idx, nbr_valid, fill
 
-    nbr_idx, nbr_valid, fill = jax.lax.fori_loop(0, 27, body, (nbr_idx, nbr_valid, fill))
+    nbr_idx, nbr_valid, fill = jax.lax.fori_loop(0, n_off, body, (nbr_idx, nbr_valid, fill))
     return jnp.where(nbr_valid, nbr_idx, n), nbr_valid

@@ -135,6 +135,8 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
 
     from minsu3d_tpu.ops.ballquery import ball_query
 
+    # NB: half_space=True would halve the scan but splits clusters when cell
+    # windows saturate (reverse-direction probes are the safety net)
     nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, radius, k, window)
     u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters)
 
