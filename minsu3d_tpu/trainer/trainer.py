@@ -203,15 +203,36 @@ class Trainer:
                                                  if isinstance(v, (int, float))}})
         return metrics
 
+    def _eval_losses_fn(self, with_heads: bool):
+        key = ("losses", with_heads, tuple(sorted(self.bundle.loss_flags(self.cfg, self.epoch).items())))
+        if key in self._eval_fns:
+            return self._eval_fns[key]
+        l_flags = self.bundle.loss_flags(self.cfg, self.epoch)
+        bundle, cfg, caps = self.bundle, self.cfg, self.eval_caps
+
+        @jax.jit
+        def fn(batch, out):
+            return bundle.losses(cfg, caps, batch, out, with_heads, **l_flags)
+
+        self._eval_fns[key] = fn
+        return fn
+
     def _run_eval(self, split: str, with_losses: bool = False,
                   save_predictions_to: str | None = None, print_result: bool = False) -> dict:
         cfg = self.cfg
         fwd = self._eval_forward(self.heads_active)
+        loss_fn = self._eval_losses_fn(self.heads_active) if with_losses else None
+        loss_agg: dict[str, float] = {}
+        n_batches = 0
         ignore = list(cfg.data.ignore_classes)
         all_preds, all_gts, all_gt_bboxes = [], [], []
         sem_accs, sem_mious = [], []
         for scan_id, batch, item in self.dm.eval_batches(split):
             out = fwd(self.params, self.batch_stats, batch)
+            if loss_fn is not None:
+                for k, v in loss_fn(batch, out).items():
+                    loss_agg[k] = loss_agg.get(k, 0.0) + float(v)
+                n_batches += 1
             n = int(batch["num_points"])
             sem_scores = np.asarray(out["semantic_scores"])[:n]
             sem_gt = np.asarray(batch["sem_labels"])[:n]
@@ -230,6 +251,9 @@ class Trainer:
             "semantic_accuracy": float(np.mean(sem_accs)) if sem_accs else 0.0,
             "semantic_mean_iou": float(np.mean(sem_mious)) if sem_mious else 0.0,
         }
+        if loss_agg:
+            metrics.update({k: v / max(n_batches, 1) for k, v in loss_agg.items()})
+            metrics["total_loss"] = sum(v / max(n_batches, 1) for v in loss_agg.values())
         if self.heads_active and all_preds:
             evaluator = GeneralDatasetEvaluator(cfg.data.class_names, -1, ignore)
             res = evaluator.evaluate(all_preds, all_gts, print_result=print_result)
