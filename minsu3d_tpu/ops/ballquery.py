@@ -36,6 +36,7 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     connected-components pass scatter-mins through edges in both directions).
     """
     n = coords.shape[0]
+    window = min(window, n + 1)  # block fetch can't exceed the table
     cell = jnp.floor(coords / radius).astype(jnp.int32) + _CELL_OFFSET
     cell = jnp.clip(cell, 0, hs.COORD_MAX - 1)
     khi, klo = hs.pack(batch, cell)
@@ -76,12 +77,17 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
 
     def body(c, carry):
         nbr_idx, nbr_valid, fill = carry
-        pos = starts[c][:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
-        pos_c = jnp.minimum(pos, n)
-        rows6 = packed[pos_c]                                   # (N, W, 6)
+        # the W candidates are CONSECUTIVE rows of the sorted table: fetch
+        # them as one dynamic-slice block per point (one wide access instead
+        # of W scalar-row gathers). Clamping keeps the slice in bounds; the
+        # extra earlier rows it may include fail the key-equality check.
+        start_c = jnp.minimum(starts[c], n + 1 - window)
+        rows6 = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(packed, (s, 0), (window, 6)))(start_c)
         cand_keys = jax.lax.bitcast_convert_type(rows6[..., :3], jnp.int32)
         same_cell = (cand_keys[..., 0] == q_hi.reshape(n_off, n)[c][:, None]) & \
-                    (cand_keys[..., 1] == q_lo.reshape(n_off, n)[c][:, None]) & (pos < n)
+                    (cand_keys[..., 1] == q_lo.reshape(n_off, n)[c][:, None]) & \
+                    (cand_keys[..., 0] != hs.SENTINEL)  # sentinel q == sentinel row
         cand = cand_keys[..., 2]                                # (N, W)
         cand_safe = jnp.where(same_cell, cand, n)
         d = rows6[..., 3:] - coords[:, None, :]
