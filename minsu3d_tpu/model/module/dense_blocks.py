@@ -20,19 +20,26 @@ from minsu3d_tpu.model.module.blocks import MaskedBatchNorm, _conv_init
 
 
 def _conv3d(x: jax.Array, w: jax.Array, stride: int = 1, compute_dtype=None) -> jax.Array:
-    """NDHWC conv; w (kd, kh, kw, Cin, Cout). fp32 accumulate."""
+    """NDHWC conv; w (kd, kh, kw, Cin, Cout).
+
+    bf16 mode keeps in/out dtypes uniform (TPU convs accumulate bf16 in f32
+    natively; mixing preferred_element_type with bf16 breaks the conv VJP).
+    """
     precision = None
+    kwargs = {}
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     if compute_dtype in (None, jnp.float32, "float32"):
         precision = jax.lax.Precision.HIGHEST
-    return jax.lax.conv_general_dilated(
+        kwargs["preferred_element_type"] = jnp.float32
+    out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,) * 3,
         padding="SAME" if stride == 1 else "VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32, precision=precision,
+        precision=precision, **kwargs,
     )
+    return out.astype(jnp.float32)
 
 
 def _conv3d_transpose(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Array:
@@ -43,11 +50,12 @@ def _conv3d_transpose(x: jax.Array, w: jax.Array, compute_dtype=None) -> jax.Arr
         w = w.astype(compute_dtype)
     if compute_dtype in (None, jnp.float32, "float32"):
         precision = jax.lax.Precision.HIGHEST
-    return jax.lax.conv_transpose(
+    out = jax.lax.conv_transpose(
         x, w, strides=(2, 2, 2), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         precision=precision,
-    ).astype(jnp.float32)
+    )
+    return out.astype(jnp.float32)
 
 
 class DenseBN(nn.Module):
