@@ -36,7 +36,6 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     connected-components pass scatter-mins through edges in both directions).
     """
     n = coords.shape[0]
-    window = min(window, n + 1)  # block fetch can't exceed the table
     cell = jnp.floor(coords / radius).astype(jnp.int32) + _CELL_OFFSET
     cell = jnp.clip(cell, 0, hs.COORD_MAX - 1)
     khi, klo = hs.pack(batch, cell)
@@ -61,15 +60,10 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     starts = starts.reshape(n_off, n)
 
     r2 = jnp.float32(radius * radius)
-    # one row-gather per candidate: [khi, klo, original idx, x, y, z] packed
-    # (int32 keys/idx bitcast to f32 bits; compared after bitcast back)
-    packed = jnp.concatenate([
-        jax.lax.bitcast_convert_type(jnp.stack([s_hi, s_lo, perm], 1), jnp.float32),
-        coords[perm],
-    ], axis=1)                                                  # (N, 6)
-    packed = jnp.concatenate([packed, jnp.stack(
-        [jax.lax.bitcast_convert_type(jnp.array([hs.SENTINEL, hs.SENTINEL, n], jnp.int32),
-                                      jnp.float32), jnp.zeros(3, jnp.float32)]).reshape(1, 6)])
+    coords_ext = jnp.concatenate([coords, jnp.zeros((1, 3), coords.dtype)], 0)
+    perm_ext = jnp.concatenate([perm, jnp.full((1,), n, jnp.int32)])
+    s_hi_ext = jnp.concatenate([s_hi, jnp.full((1,), hs.SENTINEL, jnp.int32)])
+    s_lo_ext = jnp.concatenate([s_lo, jnp.full((1,), hs.SENTINEL, jnp.int32)])
 
     nbr_idx = jnp.zeros((n, k), jnp.int32)
     nbr_valid = jnp.zeros((n, k), bool)
@@ -77,20 +71,13 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
 
     def body(c, carry):
         nbr_idx, nbr_valid, fill = carry
-        # the W candidates are CONSECUTIVE rows of the sorted table: fetch
-        # them as one dynamic-slice block per point (one wide access instead
-        # of W scalar-row gathers). Clamping keeps the slice in bounds; the
-        # extra earlier rows it may include fail the key-equality check.
-        start_c = jnp.minimum(starts[c], n + 1 - window)
-        rows6 = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(packed, (s, 0), (window, 6)))(start_c)
-        cand_keys = jax.lax.bitcast_convert_type(rows6[..., :3], jnp.int32)
-        same_cell = (cand_keys[..., 0] == q_hi.reshape(n_off, n)[c][:, None]) & \
-                    (cand_keys[..., 1] == q_lo.reshape(n_off, n)[c][:, None]) & \
-                    (cand_keys[..., 0] != hs.SENTINEL)  # sentinel q == sentinel row
-        cand = cand_keys[..., 2]                                # (N, W)
+        pos = starts[c][:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        pos_c = jnp.minimum(pos, n)
+        same_cell = (s_hi_ext[pos_c] == q_hi.reshape(n_off, n)[c][:, None]) & \
+                    (s_lo_ext[pos_c] == q_lo.reshape(n_off, n)[c][:, None]) & (pos < n)
+        cand = perm_ext[pos_c]                                  # (N, W)
         cand_safe = jnp.where(same_cell, cand, n)
-        d = rows6[..., 3:] - coords[:, None, :]
+        d = coords_ext[cand_safe] - coords[:, None, :]
         ok = same_cell & (jnp.sum(d * d, axis=-1) <= r2) & valid[:, None]
 
         prefix = jnp.cumsum(ok.astype(jnp.int32), axis=1)
