@@ -94,3 +94,59 @@ class TestOraclePointGroup:
         res = ev.evaluate([preds], [gts])
         assert res["all_ap_50%"] > 0.95, res["all_ap_50%"]
         assert res["all_ap_25%"] > 0.95, res["all_ap_25%"]
+
+
+class TestOracleHAIS:
+    def test_hais_pipeline_with_oracle_inputs(self):
+        """GT-derived semantics/offsets -> clustering -> hierarchical
+        aggregation -> prediction extraction -> AP should be near-perfect."""
+        from minsu3d_tpu.model import hais as H
+        from minsu3d_tpu.model import general_model as gm
+
+        cfg = tiny_cfg("hais")
+        batch, arrays, items = make_batch(cfg, "val", 1, seed=13)
+        sem_scores, offsets = oracle_outputs(batch)
+        sem_preds = jnp.array(sem_scores.argmax(1).astype(np.int32))
+        obj = foreground_mask(sem_preds, jnp.array(batch["point_mask"]),
+                              tuple(cfg.data.ignore_classes))
+        xyz = jnp.array(batch["point_xyz"])
+        shifted = xyz + jnp.array(offsets)
+        bids = jnp.array(batch["vert_batch_ids"])
+        from minsu3d_tpu.model.caps import StaticCaps
+
+        caps = StaticCaps.from_cfg(cfg, "val")
+        units = gm.make_units(jnp.array(batch["p2v"]), sem_preds, obj, caps.cluster_units)
+        clus = gm.cluster_step(shifted, bids, obj, sem_preds,
+                               cfg.model.network.point_aggr_radius, caps, units)
+        # synthetic objects have ~600 pts; set class means so they are primaries
+        pna = jnp.full(20, 600.0, jnp.float32)
+        ra = jnp.full(20, 0.3, jnp.float32)
+        rows = H.hierarchical_aggregation(clus, shifted, bids, sem_preds, obj,
+                                          pna, ra, caps.proposals, use_set_aggr=True)
+        n_inst = int(batch["num_instance"])
+        assert int(rows.n_proposals) >= n_inst
+
+        from minsu3d_tpu.ops.instance_iou import get_iou
+
+        ious = np.asarray(get_iou(rows, caps.proposals, jnp.array(batch["instance_ids"]),
+                                  jnp.array(batch["instance_num_point"]), caps.instances))
+        best = ious[:, :n_inst].max(0)
+        assert (best > 0.85).all(), best
+
+        n = int(batch["num_points"])
+        r = rows.point_idx.shape[0]
+        out_np = {
+            "semantic_scores": sem_scores[:n],
+            "proposal_scores": np.full(caps.proposals, 5.0, np.float32),
+            "mask_scores": np.full(r, 5.0, np.float32),  # keep all rows
+            "proposal_rows": {f: np.asarray(getattr(rows, f)) for f in rows._fields},
+        }
+        preds = H.pred_instances(cfg, "scene0", np.asarray(batch["point_xyz"])[:n],
+                                 out_np, len(cfg.data.ignore_classes))
+        assert preds
+        gts = get_gt_instances(np.asarray(batch["sem_labels"])[:n],
+                               np.asarray(batch["instance_ids"])[:n],
+                               cfg.data.ignore_classes)
+        ev = GeneralDatasetEvaluator(cfg.data.class_names, -1, cfg.data.ignore_classes)
+        res = ev.evaluate([preds], [gts])
+        assert res["all_ap_50%"] > 0.9, res["all_ap_50%"]

@@ -19,7 +19,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
-from data.scannetv2.preprocess_all_data import read_mesh_file  # noqa: E402
 from minsu3d_tpu.util.bbox import write_cylinder_bbox  # noqa: E402
 from minsu3d_tpu.util.pc import write_ply_rgb_face  # noqa: E402
 
