@@ -150,3 +150,68 @@ class TestOracleHAIS:
         ev = GeneralDatasetEvaluator(cfg.data.class_names, -1, cfg.data.ignore_classes)
         res = ev.evaluate([preds], [gts])
         assert res["all_ap_50%"] > 0.9, res["all_ap_50%"]
+
+
+class TestOracleSoftGroup:
+    def test_softgroup_pipeline_with_oracle_inputs(self):
+        """GT-derived softmax/offsets -> per-class soft grouping ->
+        per-class extraction -> AP should be near-perfect."""
+        from minsu3d_tpu.model import softgroup as S
+        from minsu3d_tpu.model.caps import StaticCaps
+
+        cfg = tiny_cfg("softgroup")
+        batch, arrays, items = make_batch(cfg, "val", 1, seed=17)
+        sem_scores, offsets = oracle_outputs(batch)
+        e = np.exp(sem_scores - sem_scores.max(1, keepdims=True))
+        softmax = e / e.sum(1, keepdims=True)
+        xyz = jnp.array(batch["point_xyz"])
+        shifted = xyz + jnp.array(offsets)
+        caps = StaticCaps.from_cfg(cfg, "val")
+        g = cfg.model.network.grouping_cfg
+
+        rows = S.soft_grouping(
+            jnp.array(softmax), shifted, jnp.array(batch["vert_batch_ids"]),
+            jnp.array(batch["point_mask"]),
+            tuple(c for c in range(20) if c + 1 not in cfg.data.ignore_classes),
+            g.score_thr, g.radius, g.npoint_thr,
+            jnp.full(20, 600.0, jnp.float32), 50,
+            cfg.model.network.train_cfg.max_proposal_num, caps,
+            p2v=jnp.array(batch["p2v"]))
+        rows = S.compact_rows(rows, 2 * xyz.shape[0])
+        n_inst = int(batch["num_instance"])
+        assert int(rows.n_proposals) >= n_inst
+
+        n = int(batch["num_points"])
+        n_props = caps.proposals
+        r = rows.point_idx.shape[0]
+        k1 = 19  # 20 classes - 2 ignored + 1 bg
+        # oracle heads: classify each proposal by its members' gt class,
+        # iou score 1, keep all mask rows
+        inst_cls = np.asarray(batch["instance_semantic_cls"])
+        inst_ids = np.asarray(batch["instance_ids"])
+        prop_cls = np.zeros(n_props, np.int64)
+        pid = np.asarray(rows.prop_id)
+        pt = np.asarray(rows.point_idx)
+        v = np.asarray(rows.valid)
+        for p in range(int(rows.n_proposals)):
+            members = pt[v & (pid == p)]
+            ii = inst_ids[members]
+            ii = ii[ii >= 0]
+            prop_cls[p] = inst_cls[ii[0]] if len(ii) else k1 - 1
+        cls_scores = np.full((n_props, k1), -10.0, np.float32)
+        cls_scores[np.arange(n_props), np.clip(prop_cls, 0, k1 - 1)] = 10.0
+        out_np = {
+            "proposal_rows": {f: np.asarray(getattr(rows, f)) for f in rows._fields},
+            "cls_scores": cls_scores,
+            "iou_scores": np.ones((n_props, k1), np.float32),
+            "mask_scores": np.full((r, k1), 5.0, np.float32),
+        }
+        preds = S.pred_instances(cfg, "scene0", np.asarray(batch["point_xyz"])[:n],
+                                 out_np, len(cfg.data.ignore_classes))
+        assert preds
+        gts = get_gt_instances(np.asarray(batch["sem_labels"])[:n],
+                               np.asarray(batch["instance_ids"])[:n],
+                               cfg.data.ignore_classes)
+        ev = GeneralDatasetEvaluator(cfg.data.class_names, -1, cfg.data.ignore_classes)
+        res = ev.evaluate([preds], [gts])
+        assert res["all_ap_50%"] > 0.9, res["all_ap_50%"]
