@@ -54,6 +54,20 @@ def main() -> None:
     variables = init(key, batches[0])
     jax.block_until_ready(variables)
 
+    # use a trained checkpoint when present: random-init semantics mark most
+    # points foreground, overstating the clustering load vs real inference
+    import os
+
+    ckpt = os.environ.get(
+        "MINSU3D_BENCH_CKPT",
+        "output/Synthetic/PointGroup/synth_convergence/training/epoch_60")
+    if os.path.isdir(ckpt):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+        variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+        print(f"# using trained checkpoint {ckpt}", file=sys.stderr)
+
     @jax.jit
     def fwd(variables, batch):
         out = net.apply(variables, batch, False, True)
