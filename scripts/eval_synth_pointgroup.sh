@@ -1,0 +1,18 @@
+#!/bin/bash
+# Golden harness: after the 60-epoch run, eval_synth_pointgroup.sh must report
+# AP 0.427 / AP50 0.577 / AP25 0.615 / BBoxAP50 0.654 (regression oracle for
+# any clustering/engine change — unit tests alone missed a scale-only bug).
+cd /root/repo
+exec python -u test.py model=pointgroup data=synthetic \
+  model.ckpt_path=output/Synthetic/PointGroup/synth_convergence/training/epoch_60 \
+  model.network.prepare_epochs=20 model.trainer.num_sanity_val_steps=0 \
+  data.synthetic.train_scenes=12 data.synthetic.val_scenes=3 \
+  data.synthetic.num_objects=8 data.synthetic.points_per_object=3000 \
+  data.synthetic.floor_points=16000 \
+  data.batch_size=2 \
+  data.caps.points=131072 data.caps.voxels=131072 \
+  data.caps.eval_points=131072 data.caps.eval_voxels=98304 \
+  data.caps.instances=64 data.caps.eval_instances=64 \
+  data.caps.clusters=512 data.caps.proposals=128 \
+  model.network.cluster.cluster_npoint_thre=50 \
+  model.trainer.precision=float32 experiment_name=synth_convergence
