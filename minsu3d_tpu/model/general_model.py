@@ -182,9 +182,18 @@ def clusters_voxelization_dense(rows: ProposalRows, p_cap: int, feats: jax.Array
     cell = ((pid * s + grid[:, 0]) * s + grid[:, 1]) * s + grid[:, 2]
     cell = jnp.where(rows.valid, cell, n_cells).astype(jnp.int32)
 
+    # duplicate cells: first row wins (deterministic, matching the sparse
+    # path / ME.sparse_quantize representative rule — rows are already in
+    # proposal-membership order, the stable analogue of ME's key order)
+    row_ids = jnp.arange(cell.shape[0], dtype=jnp.int32)
+    first_row = jnp.full((n_cells + 1,), jnp.int32(2**31 - 1)).at[cell].min(
+        jnp.where(rows.valid, row_ids, jnp.int32(2**31 - 1)))
+    winner = rows.valid & (first_row[jnp.minimum(cell, n_cells)] == row_ids)
+    cell_w = jnp.where(winner, cell, n_cells)
+
     n_feat = feats.shape[1]
-    volume = jnp.zeros((n_cells + 1, n_feat), feats.dtype).at[cell].set(f)[:n_cells]
-    occ = jnp.zeros((n_cells + 1,), bool).at[cell].set(rows.valid)[:n_cells]
+    volume = jnp.zeros((n_cells + 1, n_feat), feats.dtype).at[cell_w].set(f)[:n_cells]
+    occ = jnp.zeros((n_cells + 1,), bool).at[cell_w].set(rows.valid)[:n_cells]
     volume = volume.reshape(p_cap, s, s, s, n_feat)
     occ = occ.reshape(p_cap, s, s, s)
     return volume, occ, cell

@@ -304,8 +304,23 @@ class Trainer:
                 self.opt_state = jax.tree.unflatten(
                     jax.tree.structure(self.tx.init(self.params)),
                     jax.tree.leaves(restored["opt_state"]))
-            except Exception:
+            except Exception as e:
+                # a resumed run silently losing Adam momentum is a trap —
+                # shout, and keep the exception visible in the logs
+                import warnings
+
+                msg = (f"opt_state in checkpoint {path} does not match the "
+                       f"current optimizer tree ({e!r}); REINITIALIZING Adam "
+                       f"state — momentum/variance from the checkpoint is lost")
+                warnings.warn(msg, stacklevel=2)
+                self.logger.log({"warning": msg, "epoch": self.epoch})
                 self.opt_state = self.tx.init(self.params)
+        else:
+            import warnings
+
+            warnings.warn(f"checkpoint {path} has no opt_state; optimizer "
+                          f"state starts fresh", stacklevel=2)
+            self.opt_state = self.tx.init(self.params)
 
 
 def _to_numpy_out(out: dict, n_points: int) -> dict:

@@ -237,3 +237,84 @@ class TestUnitClustering:
                              jnp.ones(10, bool), None, units, 4, 0.05, 8, 8, 16)
         sizes = np.asarray(clus.sizes)
         assert sizes[np.asarray(clus.point_cluster)[0]] == 10
+
+
+def np_grid_components(pts, radius):
+    """Exact connected components of the ball graph via grid-hash pair
+    enumeration + union-find — scales to 100k points (the dense-adjacency
+    oracle above is O(N^2)). This is the reference BFS semantics
+    (bfs_cluster.cu:15-91) with exhaustive (uncapped) neighbor lists."""
+    n = len(pts)
+    cell = np.floor(pts / radius).astype(np.int64)
+    cell -= cell.min(0)
+    dims = cell.max(0) + 2
+    key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.diff(sk, prepend=sk[0] - 1))
+    runs = {int(sk[s]): order[s:e] for s, e in
+            zip(starts, np.append(starts[1:], n))}
+
+    parent = np.arange(n)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    r2 = radius * radius
+    fwd = [(dx, dy, dz) for dx in (0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+           if (dx, dy, dz) >= (0, 0, 0)]
+    for k, members in runs.items():
+        p = pts[members]
+        for dx, dy, dz in fwd:
+            nk = k + (dx * dims[1] + dy) * dims[2] + dz
+            cand = members if (dx, dy, dz) == (0, 0, 0) else runs.get(int(nk))
+            if cand is None:
+                continue
+            d2 = ((p[:, None, :] - pts[cand][None, :, :]) ** 2).sum(-1)
+            ii, jj = np.nonzero(d2 <= r2)
+            for a, b in zip(members[ii], cand[jj]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)])
+
+
+class TestClusteringAtScale:
+    """Membership at production scale/caps (K=16, W=8 — the unit-clustering
+    path of general_model.cluster_step). Guards against silent candidate-list
+    corruption that unit tests at <=2k points missed once (the packed-row
+    0x7FFFFFFF/NaN incident — see BENCH_NOTES.md): window saturation in dense
+    blobs must still leave every reference cluster connected."""
+
+    def test_membership_50k_dense_blobs(self):
+        rng = np.random.default_rng(11)
+        blobs = []
+        # 12 dense blobs (trained-net shifted coords collapse instances to
+        # ~5cm sigma around centroids — windows saturate hard there)
+        for c in rng.uniform(0.5, 7.5, (12, 3)):
+            blobs.append(c + rng.normal(0, 0.05, (3000, 3)))
+        # sparse background slab: singletons and small chains
+        slab = rng.uniform(0, 8, (10000, 3))
+        slab[:, 2] *= 0.0125
+        pts = np.concatenate(blobs + [slab]).astype(np.float32)
+        n = len(pts)
+        batch = jnp.zeros(n, jnp.int32)
+        valid = jnp.ones(n, bool)
+
+        r = 0.03
+        idx, ok = ball_query(jnp.array(pts), batch, valid, r, 16, 8)
+        got = np.asarray(connected_components(idx, ok, jnp.asarray(valid)))
+        ref = np_grid_components(pts, r)
+
+        for lab in np.unique(ref):
+            members = np.flatnonzero(ref == lab)
+            assert len(np.unique(got[members])) == 1, \
+                f"reference cluster of {len(members)} points split"
+        for lab in np.unique(got):
+            members = np.flatnonzero(got == lab)
+            assert len(np.unique(ref[members])) == 1, "clusters merged"
