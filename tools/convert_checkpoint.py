@@ -1,0 +1,314 @@
+"""Convert a reference minsu3d PyTorch-Lightning checkpoint into this
+framework's Orbax format.
+
+The reference validates accuracy by released pretrained checkpoints
+(reference README.md:139-156, ckpt URLs :146-151). This tool maps the
+Lightning ``state_dict`` (MinkowskiEngine conv kernels, BatchNorms, linear
+heads — reference minsu3d/model/module/{backbone.py:8-43, common.py:22-95,
+tiny_unet.py:7-19}) onto the flax parameter tree of the equivalent model
+here, so AP parity can be checked the moment the released weights are
+available (this image has no network egress).
+
+Usage:
+    python tools/convert_checkpoint.py IN.ckpt OUT_DIR \
+        [model=pointgroup] [--tap-order x-fastest]
+
+Layout conventions handled:
+  * torch ``nn.Linear`` weight is (out, in) -> flax Dense kernel (in, out).
+  * ME conv kernels are (kernel_volume, in, out) with taps enumerated
+    FIRST-COORDINATE-FASTEST (x innermost — MinkowskiEngine's KernelRegion
+    iterator increments axis 0 first). This framework enumerates taps
+    z-fastest (ops/sparse.py::KERNEL_OFFSETS) and stores dense head kernels
+    as (kx, ky, kz, in, out). ``--tap-order z-fastest`` flips the assumption
+    if a real-checkpoint parity check ever disagrees.
+  * ME kernel_size=1 convs store a 2-D (in, out) kernel.
+  * MinkowskiBatchNorm wraps ``nn.BatchNorm1d`` as attribute ``bn``; plain
+    point-head BatchNorm1d (backbone.py:22-33) has no ``bn`` infix.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+# -- tap permutations ---------------------------------------------------------
+
+def _perm_k3(tap_order: str) -> np.ndarray:
+    """ME (27,) tap index for each of our taps (ours: k = 9dx + 3dy + dz)."""
+    if tap_order == "z-fastest":
+        return np.arange(27)
+    return np.array([a * 1 + b * 3 + c * 9 for a in range(3)
+                     for b in range(3) for c in range(3)])
+
+
+def _perm_k2(tap_order: str) -> np.ndarray:
+    """ME (8,) tap index for each of our taps (ours: k = 4dx + 2dy + dz)."""
+    if tap_order == "z-fastest":
+        return np.arange(8)
+    return np.array([a * 1 + b * 2 + c * 4 for a in (0, 1)
+                     for b in (0, 1) for c in (0, 1)])
+
+
+def conv_k3(w: np.ndarray, tap_order: str, dense: bool) -> np.ndarray:
+    w = np.asarray(w)
+    assert w.shape[0] == 27, f"k3 kernel expects (27, in, out), got {w.shape}"
+    w = w[_perm_k3(tap_order)]
+    return w.reshape(3, 3, 3, *w.shape[1:]) if dense else w
+
+
+def conv_k2(w: np.ndarray, tap_order: str, dense: bool) -> np.ndarray:
+    w = np.asarray(w)
+    assert w.shape[0] == 8, f"k2 kernel expects (8, in, out), got {w.shape}"
+    w = w[_perm_k2(tap_order)]
+    return w.reshape(2, 2, 2, *w.shape[1:]) if dense else w
+
+
+def conv_k1(w: np.ndarray) -> np.ndarray:
+    w = np.asarray(w)
+    if w.ndim == 3:  # (1, in, out)
+        w = w[0]
+    return w
+
+
+def linear(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w).T  # torch (out, in) -> flax (in, out)
+
+
+# -- flax-path -> torch-key translation ---------------------------------------
+# Each translator returns (torch_key, transform) for one flax leaf path.
+
+_BN_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
+
+
+def _bn(prefix: str, leaf: str, minkowski: bool = True):
+    infix = "bn." if minkowski else ""
+    return f"{prefix}.{infix}{_BN_LEAF[leaf]}", np.asarray
+
+
+def _resblock(prefix: str, path: tuple, tap_order: str, dense: bool):
+    """ResidualBlock (reference common.py:22-48): conv_branch = BN, ReLU,
+    conv k3, BN, ReLU, conv k3; optional downsample = [conv k1]."""
+    head, *rest = path
+    bn_names = ("DenseBN_0", "DenseBN_1") if dense else ("MaskedBatchNorm_0", "MaskedBatchNorm_1")
+    conv_names = ("DenseSubmConv_0", "DenseSubmConv_1") if dense else ("SubmConv_0", "SubmConv_1")
+    if head == bn_names[0]:
+        return _bn(f"{prefix}.conv_branch.0", rest[-1])
+    if head == bn_names[1]:
+        return _bn(f"{prefix}.conv_branch.3", rest[-1])
+    if head == conv_names[0]:
+        return f"{prefix}.conv_branch.2.kernel", lambda w: conv_k3(w, tap_order, dense)
+    if head == conv_names[1]:
+        return f"{prefix}.conv_branch.5.kernel", lambda w: conv_k3(w, tap_order, dense)
+    if head == "downsample":
+        return f"{prefix}.downsample.0.kernel", conv_k1
+    raise KeyError(f"unknown ResidualBlock member {path} under {prefix}")
+
+
+def _ublock(prefix: str, path: tuple, tap_order: str):
+    """Sparse UBlock (reference common.py:51-95)."""
+    head, *rest = path
+    if head.startswith("block_tail"):
+        return _resblock(f"{prefix}.blocks_tail.block{head[10:]}", tuple(rest), tap_order, False)
+    if head.startswith("block"):
+        return _resblock(f"{prefix}.blocks.block{head[5:]}", tuple(rest), tap_order, False)
+    if head == "conv_bn":
+        return _bn(f"{prefix}.conv.0", rest[-1])
+    if head == "conv":
+        return f"{prefix}.conv.2.kernel", lambda w: conv_k2(w, tap_order, False)
+    if head == "u":
+        return _ublock(f"{prefix}.u", tuple(rest), tap_order)
+    if head == "deconv_bn":
+        return _bn(f"{prefix}.deconv.0", rest[-1])
+    if head == "deconv":
+        return f"{prefix}.deconv.2.kernel", lambda w: conv_k2(w, tap_order, False)
+    raise KeyError(f"unknown UBlock member {path} under {prefix}")
+
+
+def _dense_tiny_unet(prefix: str, path: tuple, tap_order: str):
+    """DenseTinyUnet <- reference TinyUnet (tiny_unet.py:7-19): unet.0 is
+    UBlock([c, 2c], reps=2) with the inner level inlined here as u_block{i},
+    unet.1 the trailing MinkowskiBatchNorm."""
+    head, *rest = path
+    if head.startswith("block_tail"):
+        return _resblock(f"{prefix}.unet.0.blocks_tail.block{head[10:]}", tuple(rest), tap_order, True)
+    if head.startswith("u_block"):
+        return _resblock(f"{prefix}.unet.0.u.blocks.block{head[7:]}", tuple(rest), tap_order, True)
+    if head.startswith("block"):
+        return _resblock(f"{prefix}.unet.0.blocks.block{head[5:]}", tuple(rest), tap_order, True)
+    if head == "conv_bn":
+        return _bn(f"{prefix}.unet.0.conv.0", rest[-1])
+    if head == "conv_kernel":
+        return f"{prefix}.unet.0.conv.2.kernel", lambda w: conv_k2(w, tap_order, True)
+    if head == "deconv_bn":
+        return _bn(f"{prefix}.unet.0.deconv.0", rest[-1])
+    if head == "deconv_kernel":
+        return f"{prefix}.unet.0.deconv.2.kernel", lambda w: conv_k2(w, tap_order, True)
+    if head == "out_bn":
+        return _bn(f"{prefix}.unet.1", rest[-1])
+    raise KeyError(f"unknown DenseTinyUnet member {path} under {prefix}")
+
+
+def _point_mlp(prefix: str, path: tuple):
+    """PointMLP <- Linear, BatchNorm1d (plain), ReLU, Linear (backbone.py:20-33)."""
+    head, *rest = path
+    if head == "Dense_0":
+        return (f"{prefix}.0.weight", linear) if rest[-1] == "kernel" else \
+               (f"{prefix}.0.bias", np.asarray)
+    if head == "MaskedBatchNorm_0":
+        return _bn(f"{prefix}.1", rest[-1], minkowski=False)
+    if head == "Dense_1":
+        return (f"{prefix}.3.weight", linear) if rest[-1] == "kernel" else \
+               (f"{prefix}.3.bias", np.asarray)
+    raise KeyError(f"unknown PointMLP member {path} under {prefix}")
+
+
+def _backbone(path: tuple, tap_order: str):
+    """Backbone (reference backbone.py:8-43): unet.0 input conv, unet.1
+    UBlock, unet.2 BN, heads."""
+    head, *rest = path
+    if head == "input_conv":
+        return "backbone.unet.0.kernel", lambda w: conv_k3(w, tap_order, False)
+    if head == "unet":
+        return _ublock("backbone.unet.1", tuple(rest), tap_order)
+    if head == "out_bn":
+        return _bn("backbone.unet.2", rest[-1])
+    if head in ("semantic_branch", "offset_branch"):
+        return _point_mlp(f"backbone.{head}", tuple(rest))
+    raise KeyError(f"unknown Backbone member {path}")
+
+
+# linear heads per model: flax module name -> torch state_dict prefix
+_HEAD_LINEARS = {
+    "PointGroup": {"score_branch": "score_branch"},
+    "HAIS": {"score_branch": "score_branch",
+             "mask_branch_0": "mask_branch.0", "mask_branch_1": "mask_branch.2"},
+    "SoftGroup": {"classification_branch": "classification_branch",
+                  "iou_score": "iou_score",
+                  "mask_scoring_0": "mask_scoring_branch.0",
+                  "mask_scoring_1": "mask_scoring_branch.2"},
+}
+_TINY_UNET_NAME = {"PointGroup": "score_net", "HAIS": "tiny_unet", "SoftGroup": "tiny_unet"}
+
+
+def translate(model_name: str, path: tuple, tap_order: str = "x-fastest"):
+    """(flax tree path under params/batch_stats) -> (torch key, transform)."""
+    head, *rest = path
+    if head == "backbone":
+        return _backbone(tuple(rest), tap_order)
+    if head == _TINY_UNET_NAME[model_name]:
+        return _dense_tiny_unet(head, tuple(rest), tap_order)
+    heads = _HEAD_LINEARS[model_name]
+    if head in heads:
+        leaf = rest[-1]
+        if leaf == "kernel":
+            return f"{heads[head]}.weight", linear
+        return f"{heads[head]}.bias", np.asarray
+    raise KeyError(f"unknown top-level module {head} for {model_name}")
+
+
+# -- tree conversion -----------------------------------------------------------
+
+def convert_tree(model_name: str, variables: dict, state_dict: dict,
+                 tap_order: str = "x-fastest") -> tuple[dict, list[str]]:
+    """Fill a flax variables template {params, batch_stats} from a torch
+    state_dict. Returns (filled variables, consumed torch keys). Raises on
+    any missing torch key or shape mismatch; every flax leaf must be filled.
+    """
+    import jax
+
+    consumed = []
+
+    def fill(collection: str, tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        out = {}
+        for keypath, leaf in flat:
+            path = tuple(getattr(k, "key", getattr(k, "name", None)) for k in keypath)
+            torch_key, transform = translate(model_name, path, tap_order)
+            if torch_key not in state_dict:
+                raise KeyError(f"{collection} leaf {'.'.join(path)} -> missing "
+                               f"torch key {torch_key}")
+            w = transform(np.asarray(state_dict[torch_key], np.float32))
+            if tuple(w.shape) != tuple(leaf.shape):
+                raise ValueError(f"{torch_key} -> {'.'.join(path)}: shape "
+                                 f"{w.shape} != expected {leaf.shape}")
+            consumed.append(torch_key)
+            node = out
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = w.astype(np.float32)
+        return out
+
+    params = fill("params", variables["params"])
+    batch_stats = fill("batch_stats", variables.get("batch_stats", {}))
+    return {"params": params, "batch_stats": batch_stats}, consumed
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tap_order = "x-fastest"
+    for a in sys.argv[1:]:
+        if a.startswith("--tap-order"):
+            tap_order = a.split("=", 1)[1] if "=" in a else "x-fastest"
+    if len(args) < 2:
+        print(__doc__)
+        sys.exit(1)
+    in_path, out_dir = args[0], args[1]
+    overrides = args[2:] or ["model=pointgroup"]
+
+    from minsu3d_tpu.util.env import setup_jax_cache
+
+    setup_jax_cache()
+    import jax
+
+    from minsu3d_tpu.config import load_config
+    from minsu3d_tpu.data.batching import collate, device_arrays, shard_caps
+    from minsu3d_tpu.data.dataset import GeneralDataset
+    from minsu3d_tpu.data.synthetic import make_scene
+    from minsu3d_tpu.model import get_model
+
+    cfg = load_config(overrides + [
+        "data=synthetic",
+        "data.caps.eval_points=8192", "data.caps.eval_voxels=8192",
+        "data.caps.clusters=64", "data.caps.proposals=32",
+    ])
+    model_name = cfg.model.network.module
+    scene = make_scene(seed=0, num_objects=3, points_per_object=300, floor_points=1000)
+    ds = GeneralDataset(cfg, "val", scenes=[scene])
+    batch = device_arrays(collate([ds[0]], shard_caps(cfg, "val")))
+    net = get_model(model_name).make_net(cfg, "val")
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda k, b: net.init({"params": k, "cluster": k}, b, False, True))(key, batch)
+    variables = jax.tree.map(np.asarray, variables)
+
+    state_dict = load_torch_state_dict(in_path)
+    converted, consumed = convert_tree(model_name, variables, state_dict, tap_order)
+    skipped = [k for k in state_dict if k not in set(consumed)
+               and not k.endswith("num_batches_tracked")]
+    if skipped:
+        print(f"WARNING: {len(skipped)} torch keys not consumed: {skipped[:10]}",
+              file=sys.stderr)
+
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckpt = {"params": converted["params"], "batch_stats": converted["batch_stats"],
+            "opt_state": None, "epoch": 0}
+    ocp.PyTreeCheckpointer().save(os.path.abspath(out_dir), ckpt, force=True)
+    print(f"converted {len(consumed)} tensors ({model_name}, tap order "
+          f"{tap_order}) -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
