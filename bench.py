@@ -1,15 +1,26 @@
 """Benchmark: PointGroup inference scenes/sec/chip (voxelize + UNet + cluster
 + ScoreNet), the BASELINE.json metric. Runs the full-size model (m=16,
-7-level UNet) on synthetic ScanNet-scale scenes (~120k points). Baseline:
+7-level UNet) on synthetic ScanNet-scale scenes (~112k points). Baseline:
 official PointGroup at 176 ms/scene on an RTX 2080 Ti (reference
 README.md:214) = 5.68 scenes/s.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Usage: python bench.py [n_scenes] [scenes_per_batch]
+
+Scenes are packed ``scenes_per_batch`` per forward: voxel/point caps scale
+with the pack while the clustering unit capacity (the ball-query/CC cost
+driver) is shared, so clustering cost per scene drops ~1/pack. Dispatch is
+pipelined (all forwards enqueued, one synchronize) so the chip never idles
+between batches.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Set MINSU3D_BENCH_STAGES=1 for a per-stage breakdown (time / FLOPs / bytes /
+%-of-roofline from XLA cost analysis) on stderr + output/bench_stages.json.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -18,9 +29,27 @@ from minsu3d_tpu.util.env import setup_jax_cache
 setup_jax_cache()  # must run before jax reads its config env vars
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 BASELINE_SCENES_PER_SEC = 1000.0 / 176.0  # official PointGroup, RTX 2080 Ti
+PEAK_BF16_FLOPS = 197e12   # TPU v5e MXU peak (bf16)
+PEAK_HBM_BPS = 819e9       # TPU v5e HBM bandwidth
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def _cost(compiled) -> dict:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
 
 
 def main() -> None:
@@ -31,33 +60,40 @@ def main() -> None:
     from minsu3d_tpu.model import get_model
 
     n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    cfg = load_config([
-        "model=pointgroup", "data=scannetv2",
-        "data.caps.eval_points=163840",
-        "data.caps.eval_voxels=131072",
-        "data.caps.eval_instances=64",
-        "data.caps.cluster_units=65536",
-        "model.trainer.precision=bfloat16",
-    ])
+    pack = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_scenes = _round_up(n_scenes, pack)
 
+    base_overrides = ["model=pointgroup", "data=scannetv2",
+                      "model.trainer.precision=bfloat16"]
+    cfg0 = load_config(base_overrides)
     scenes = [make_scene(seed=s, num_objects=12, points_per_object=6000,
                          floor_points=40000, room=8.0) for s in range(n_scenes)]
-    ds = GeneralDataset(cfg, "val", scenes=scenes)
+    ds = GeneralDataset(cfg0, "val", scenes=scenes)
+    items = [ds[i] for i in range(len(ds))]
+
+    max_pts = max(it["point_xyz"].shape[0] for it in items)
+    max_vox = max(it["voxel_coords"].shape[0] for it in items)
+    max_inst = max(int(it["num_instance"]) for it in items)
+    cfg = load_config(base_overrides + [
+        f"data.caps.eval_points={_round_up(max_pts * pack + 1024, 8192)}",
+        f"data.caps.eval_voxels={_round_up(max_vox * pack + 1024, 8192)}",
+        f"data.caps.eval_instances={max(64, max_inst * pack)}",
+        "data.caps.cluster_units=65536",  # shared across the pack — the point
+    ])
     caps = shard_caps(cfg, "val")
 
     bundle = get_model("PointGroup")
     net = bundle.make_net(cfg, "val")
     key = jax.random.PRNGKey(0)
 
-    batches = [device_arrays(collate([ds[i]], caps)) for i in range(len(ds))]
+    batches = [device_arrays(collate(items[i:i + pack], caps))
+               for i in range(0, len(items), pack)]
     init = jax.jit(lambda k, b: net.init({"params": k, "cluster": k}, b, False, True))
     variables = init(key, batches[0])
     jax.block_until_ready(variables)
 
     # use a trained checkpoint when present: random-init semantics mark most
     # points foreground, overstating the clustering load vs real inference
-    import os
-
     ckpt = os.environ.get(
         "MINSU3D_BENCH_CKPT",
         "output/Synthetic/PointGroup/synth_convergence/training/epoch_60")
@@ -76,20 +112,102 @@ def main() -> None:
     # warm-up (compile)
     jax.block_until_ready(fwd(variables, batches[0]))
 
-    # timed: host voxelize+collate excluded (pipelined in production); the
-    # device path covers plan build + UNet + clustering + ScoreNet per scene
+    # timed: host voxelize+collate excluded (pipelined in production); all
+    # forwards are enqueued back-to-back and synchronized once, so the device
+    # pipeline covers plan build + UNet + clustering + ScoreNet per batch
     t0 = time.perf_counter()
-    for b in batches:
-        jax.block_until_ready(fwd(variables, b))
+    outs = [fwd(variables, b) for b in batches]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
-    scenes_per_sec = len(batches) / dt
+    scenes_per_sec = n_scenes / dt
+    if os.environ.get("MINSU3D_BENCH_STAGES"):
+        _stage_report(cfg, net, variables, batches, pack, dt / len(batches))
     print(json.dumps({
         "metric": "pointgroup_scannetv2_inference_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
     }))
+
+
+def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
+    """Per-stage timing + XLA cost analysis -> roofline utilization."""
+    from minsu3d_tpu.model import general_model as gm
+    from minsu3d_tpu.model.pointgroup import foreground_mask, merge_clusterings
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    scaps = StaticCaps.from_cfg(cfg, "val")
+    n_levels = len(cfg.model.network.blocks)
+    radius = cfg.model.network.cluster.cluster_radius
+    npoint_thre = cfg.model.network.cluster.cluster_npoint_thre
+    ignore = tuple(cfg.data.ignore_classes)
+
+    def plan_fn(batch):
+        return gm.build_scene_plan(batch, list(scaps.voxel_caps), n_levels)
+
+    def backbone_fn(variables, batch):
+        out = net.apply(variables, batch, False, False)
+        return out["semantic_scores"], out["point_offsets"]
+
+    def cluster_fn(batch, sem_scores, offsets):
+        sem_preds = jnp.argmax(sem_scores, axis=1).astype(jnp.int32)
+        obj = foreground_mask(sem_preds, batch["point_mask"], ignore)
+        xyz = batch["point_xyz"]
+        bids = batch["vert_batch_ids"]
+        units = gm.make_units(batch["p2v"], sem_preds, obj, scaps.cluster_units)
+        clus = gm.cluster_step(xyz, bids, obj, sem_preds, radius, scaps, units)
+        clus_shift = gm.cluster_step(xyz + offsets, bids, obj, sem_preds,
+                                     radius, scaps, units)
+        return merge_clusterings([clus, clus_shift], [npoint_thre] * 2,
+                                 xyz.shape[0], scaps.proposals)
+
+    stages = {}
+    b0 = batches[0]
+    bb = jax.jit(backbone_fn)
+    sem, off = jax.block_until_ready(bb(variables, b0))
+
+    for name, fn, args in [
+        ("plan", plan_fn, (b0,)),
+        ("backbone+plan", backbone_fn, (variables, b0)),
+        ("cluster", cluster_fn, (b0, sem, off)),
+    ]:
+        lowered = jax.jit(fn).lower(*args)
+        compiled = lowered.compile()
+        jax.block_until_ready(compiled(*args))  # warm
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(compiled(*args))
+        t = (time.perf_counter() - t0) / reps
+        stages[name] = {"time_s": t, **_cost(compiled)}
+
+    stages["plan"]["note"] = "grid-plan build (sorts + kernel maps)"
+    t_plan = stages["plan"]["time_s"]
+    t_bb = stages["backbone+plan"]["time_s"]
+    t_cl = stages["cluster"]["time_s"]
+    stages["backbone_only"] = {"time_s": max(t_bb - t_plan, 0.0),
+                               "flops": stages["backbone+plan"]["flops"] - stages["plan"]["flops"],
+                               "bytes": stages["backbone+plan"]["bytes"] - stages["plan"]["bytes"]}
+    stages["heads_rest"] = {"time_s": max(full_per_batch - t_bb - t_cl, 0.0),
+                            "flops": 0.0, "bytes": 0.0,
+                            "note": "proposal voxelization + ScoreNet + output copy (full - backbone - cluster)"}
+    stages["full_forward"] = {"time_s": full_per_batch, "flops": 0.0, "bytes": 0.0}
+
+    hdr = f"{'stage':<16}{'s/batch':>9}{'s/scene':>9}{'TFLOP/s':>9}{'%MXU':>6}{'GB/s':>8}{'%HBM':>6}"
+    print("# " + hdr, file=sys.stderr)
+    for name, s in stages.items():
+        t = s["time_s"]
+        fl = s.get("flops", 0.0)
+        by = s.get("bytes", 0.0)
+        tf = fl / t / 1e12 if t > 0 else 0.0
+        gbs = by / t / 1e9 if t > 0 else 0.0
+        print(f"# {name:<16}{t:>9.4f}{t / pack:>9.4f}{tf:>9.2f}"
+              f"{100 * tf * 1e12 / PEAK_BF16_FLOPS:>6.1f}{gbs:>8.1f}"
+              f"{100 * gbs * 1e9 / PEAK_HBM_BPS:>6.1f}", file=sys.stderr)
+    os.makedirs("output", exist_ok=True)
+    with open("output/bench_stages.json", "w") as f:
+        json.dump({"pack": pack, "stages": stages}, f, indent=1)
 
 
 if __name__ == "__main__":

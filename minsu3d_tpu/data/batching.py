@@ -22,8 +22,29 @@ def shard_caps(cfg, split: str) -> dict[str, int]:
     return {"points": caps.eval_points, "voxels": caps.eval_voxels, "instances": caps.eval_instances}
 
 
-def collate(batch: list[dict[str, Any]], caps: dict[str, int]) -> dict[str, Any]:
-    """Pack a list of per-scene dicts into one fixed-shape shard batch."""
+def plan_spec(cfg, split: str):
+    """(level caps, num levels) for host-side plan building, or None when the
+    native library is unavailable or ``data.host_plan`` is off."""
+    if not cfg.data.get("host_plan", True):
+        return None
+    from minsu3d_tpu.csrc import native
+
+    if not native.available():
+        return None
+    from minsu3d_tpu.model.general_model import backbone_caps
+
+    return backbone_caps(cfg, split), len(cfg.model.network.blocks)
+
+
+def collate(batch: list[dict[str, Any]], caps: dict[str, int],
+            plan: tuple | None = None) -> dict[str, Any]:
+    """Pack a list of per-scene dicts into one fixed-shape shard batch.
+
+    ``plan=(level_caps, num_levels)`` additionally builds the UNet grid plan
+    on the host (csrc/native.py::build_plan_host) and ships it with the batch
+    — the TPU then skips the device-side sort pipeline (general_model.py::
+    build_scene_plan). Runs inside the prefetch worker, overlapped with
+    device compute."""
     P, V, I = caps["points"], caps["voxels"], caps["instances"]
     n_feat = batch[0]["voxel_feats"].shape[1]
 
@@ -81,6 +102,13 @@ def collate(batch: list[dict[str, Any]], caps: dict[str, int]) -> dict[str, Any]
     out["num_instance"] = np.int32(i0)
     out["num_points"] = np.int32(p0)
     out["num_voxels"] = np.int32(v0)
+    if plan is not None:
+        from minsu3d_tpu.csrc import native
+
+        built = native.build_plan_host(out["voxel_batch"], out["voxel_coords"],
+                                       out["voxel_mask"], plan[0], plan[1])
+        if built is not None:
+            out.update(built)
     return out
 
 

@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 
-from minsu3d_tpu.data.batching import collate, device_arrays, shard_caps
+from minsu3d_tpu.data.batching import collate, device_arrays, plan_spec, shard_caps
 from minsu3d_tpu.data.dataset import DATASETS
 
 
@@ -43,6 +43,7 @@ class DataModule:
         """One epoch of stacked (D, ...) shard batches, background-prefetched."""
         ds = self.setup("train")
         caps = shard_caps(self.cfg, "train")
+        plan = plan_spec(self.cfg, "train")
         bs = self.cfg.data.batch_size
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(ds))
@@ -56,7 +57,7 @@ class DataModule:
             for s in range(num_shards):
                 lo = step * per_step + s * bs
                 items = [ds[int(i)] for i in order[lo : lo + bs]]
-                shards.append(device_arrays(collate(items, caps)))
+                shards.append(device_arrays(collate(items, caps, plan)))
             return {k: np.stack([sh[k] for sh in shards]) for k in shards[0]}
 
         yield from _prefetch_iter(make, steps, prefetch)
@@ -65,10 +66,11 @@ class DataModule:
         """(scan_id, batch, item) per scene, batch_size=1, eval caps."""
         ds = self.setup(split)
         caps = shard_caps(self.cfg, split)
+        plan = plan_spec(self.cfg, split)
 
         def make(i: int):
             item = ds[i]
-            b = collate([item], caps)
+            b = collate([item], caps, plan)
             return b["scan_ids"][0], device_arrays(b), item
 
         yield from _prefetch_iter(make, len(ds), prefetch)

@@ -25,11 +25,34 @@ def backbone_caps(cfg, split: str) -> list[int]:
 
 
 def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
-    """GridPlan over the batch's voxels + per-point voxel index (sorted space)."""
-    plan, row2voxel, voxel_feats = sparse.build_plan(
-        batch["voxel_batch"], batch["voxel_coords"], batch["voxel_mask"],
-        caps, num_levels, batch["voxel_feats"])
+    """GridPlan over the batch's voxels + per-point voxel index (sorted space).
+
+    When the collate shipped a host-built plan (``plan0_khi`` present — see
+    csrc/native.py::build_plan_host), reconstruct it from the batch arrays:
+    the device then only gathers representative features instead of running
+    the sort pipeline (~0.3 s/scene at eval caps, overlapped with compute by
+    the input pipeline instead).
+    """
     cap0 = caps[0]
+    if "plan0_khi" in batch:
+        levels = []
+        for lvl in range(num_levels):
+            levels.append(sparse.Level(
+                khi=batch[f"plan{lvl}_khi"], klo=batch[f"plan{lvl}_klo"],
+                coords=batch[f"plan{lvl}_coords"], batch=batch[f"plan{lvl}_batch"],
+                valid=batch[f"plan{lvl}_valid"], count=batch[f"plan{lvl}_count"],
+                n_dropped=batch[f"plan{lvl}_dropped"], nbr_idx=batch[f"plan{lvl}_nbr"],
+                parent_idx=batch.get(f"plan{lvl}_parent"),
+                child_kid=batch.get(f"plan{lvl}_kid")))
+        plan = sparse.GridPlan(levels=tuple(levels))
+        row2voxel = batch["plan_row2voxel"]
+        featsrc = batch["plan0_featsrc"]
+        voxel_feats = jnp.where((featsrc >= 0)[:, None],
+                                batch["voxel_feats"][jnp.maximum(featsrc, 0)], 0)
+    else:
+        plan, row2voxel, voxel_feats = sparse.build_plan(
+            batch["voxel_batch"], batch["voxel_coords"], batch["voxel_mask"],
+            caps, num_levels, batch["voxel_feats"])
     r2v_ext = jnp.concatenate([row2voxel, jnp.full((1,), cap0, jnp.int32)])
     v2p = r2v_ext[jnp.minimum(batch["p2v"], row2voxel.shape[0])]
     return plan, v2p, voxel_feats

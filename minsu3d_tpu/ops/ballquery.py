@@ -12,6 +12,20 @@ even retries on overflow, functions/common_ops.py:31-38). Capping K/window
 can drop edges inside very dense blobs, but those blobs stay connected through
 shared cell-window candidates, which is all the downstream connected-component
 pass needs.
+
+Two schedule variants:
+  * ``fused=True`` (default): ONE (N, n_off*W) candidate pass — a single
+    cumsum + scatter instead of 27 serialized fori_loop steps. Same results,
+    much better TPU utilization (the loop version launches 27 small
+    gather/scatter kernels back-to-back).
+  * ``fused=False``: the original fori_loop schedule (kept as a fallback for
+    compilers that choke on the large fused gather — see BENCH_NOTES.md).
+
+``group`` (e.g. the predicted semantic class) is folded into the hash key
+when given: the downstream CC pass drops cross-group edges anyway
+(bfs_cluster.cpp:28-40 same-label rule), so segregating cell runs by group
+loses nothing and stops mixed-group cells from wasting window slots —
+windows saturate ~2x later in dense class-boundary regions.
 """
 
 from __future__ import annotations
@@ -22,13 +36,16 @@ import jax.numpy as jnp
 from minsu3d_tpu.ops import hashing as hs
 
 _CELL_OFFSET = 512  # recentre cells so negative coords stay in [0, 1024)
+_GROUP_SHIFT = 16   # khi = batch << 16 | group (both far below 2^15)
 
 
 def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
-               radius: float, k: int, window: int = 32, half_space: bool = False):
+               radius: float, k: int, window: int = 32, half_space: bool = False,
+               group: jax.Array | None = None, fused: bool = True):
     """Neighbor lists: up to ``k`` same-batch points within ``radius``.
 
     Returns (nbr_idx (N, k) int32, nbr_valid (N, k) bool). Includes self.
+    ``group`` restricts neighbors to equal group values (see module doc).
 
     ``half_space=True`` scans only the center + 13 lexicographically-forward
     cells (half the work); every edge still appears in at least one endpoint's
@@ -38,7 +55,11 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     n = coords.shape[0]
     cell = jnp.floor(coords / radius).astype(jnp.int32) + _CELL_OFFSET
     cell = jnp.clip(cell, 0, hs.COORD_MAX - 1)
-    khi, klo = hs.pack(batch, cell)
+    key_hi = batch.astype(jnp.int32)
+    if group is not None:
+        key_hi = (key_hi << _GROUP_SHIFT) | jnp.clip(group.astype(jnp.int32),
+                                                     0, (1 << _GROUP_SHIFT) - 1)
+    khi, klo = hs.pack(key_hi, cell)
     khi, klo = hs.mask_invalid(khi, klo, valid)
     perm = hs.lexsort_pairs(khi, klo).astype(jnp.int32)
     s_hi, s_lo = khi[perm], klo[perm]
@@ -53,7 +74,7 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     # lower_bound(key) == upper_bound(key - 1)
     q_cell = cell[None, :, :] + offs[:, None, :]               # (n_off, N, 3)
     in_rng = jnp.all((q_cell >= 0) & (q_cell < hs.COORD_MAX), axis=-1) & valid[None, :]
-    q_hi, q_lo = hs.pack(jnp.broadcast_to(batch[None, :], (n_off, n)),
+    q_hi, q_lo = hs.pack(jnp.broadcast_to(key_hi[None, :], (n_off, n)),
                          jnp.clip(q_cell, 0, hs.COORD_MAX - 1))
     q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_rng)
     _, _, starts = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1) - 1)
@@ -64,6 +85,32 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     perm_ext = jnp.concatenate([perm, jnp.full((1,), n, jnp.int32)])
     s_hi_ext = jnp.concatenate([s_hi, jnp.full((1,), hs.SENTINEL, jnp.int32)])
     s_lo_ext = jnp.concatenate([s_lo, jnp.full((1,), hs.SENTINEL, jnp.int32)])
+    q_hi = q_hi.reshape(n_off, n)
+    q_lo = q_lo.reshape(n_off, n)
+
+    if fused:
+        # one (n_off, N, W) candidate tensor; a point's candidates across
+        # offsets are disjoint (each point lives in exactly one cell), so a
+        # single per-point cumsum over the flattened (n_off*W) axis assigns
+        # output slots exactly like the sequential fill counter did.
+        pos = starts[:, :, None] + jnp.arange(window, dtype=jnp.int32)[None, None, :]
+        pos_c = jnp.minimum(pos, n)
+        same_cell = (s_hi_ext[pos_c] == q_hi[:, :, None]) & \
+                    (s_lo_ext[pos_c] == q_lo[:, :, None]) & (pos < n) & \
+                    (q_hi[:, :, None] != hs.SENTINEL)
+        cand = jnp.where(same_cell, perm_ext[pos_c], n)         # (n_off, N, W)
+        d = coords_ext[cand] - coords[None, :, None, :]
+        ok = same_cell & (jnp.sum(d * d, axis=-1) <= r2) & valid[None, :, None]
+
+        ok_t = ok.transpose(1, 0, 2).reshape(n, n_off * window)
+        cand_t = cand.transpose(1, 0, 2).reshape(n, n_off * window)
+        col = jnp.cumsum(ok_t.astype(jnp.int32), axis=1) - 1
+        store = ok_t & (col < k)
+        col_c = jnp.where(store, col, k)                        # k = dropped
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], col_c.shape)
+        nbr_idx = jnp.zeros((n, k), jnp.int32).at[rows, col_c].set(cand_t, mode="drop")
+        nbr_valid = jnp.zeros((n, k), bool).at[rows, col_c].set(store, mode="drop")
+        return jnp.where(nbr_valid, nbr_idx, n), nbr_valid
 
     nbr_idx = jnp.zeros((n, k), jnp.int32)
     nbr_valid = jnp.zeros((n, k), bool)
@@ -73,8 +120,9 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         nbr_idx, nbr_valid, fill = carry
         pos = starts[c][:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
         pos_c = jnp.minimum(pos, n)
-        same_cell = (s_hi_ext[pos_c] == q_hi.reshape(n_off, n)[c][:, None]) & \
-                    (s_lo_ext[pos_c] == q_lo.reshape(n_off, n)[c][:, None]) & (pos < n)
+        same_cell = (s_hi_ext[pos_c] == q_hi[c][:, None]) & \
+                    (s_lo_ext[pos_c] == q_lo[c][:, None]) & (pos < n) & \
+                    (q_hi[c][:, None] != hs.SENTINEL)
         cand = perm_ext[pos_c]                                  # (N, W)
         cand_safe = jnp.where(same_cell, cand, n)
         d = coords_ext[cand_safe] - coords[:, None, :]

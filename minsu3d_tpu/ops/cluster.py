@@ -101,7 +101,8 @@ def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
     """ball_query + connected_components + compaction in one call."""
     from minsu3d_tpu.ops.ballquery import ball_query
 
-    nbr_idx, nbr_valid = ball_query(coords, batch, active, radius, k, window)
+    nbr_idx, nbr_valid = ball_query(coords, batch, active, radius, k, window,
+                                    group=group)
     label = connected_components(nbr_idx, nbr_valid, active, group, max_iters)
     return compact_labels(label, active, c_cap)
 
@@ -138,7 +139,8 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
 
     # NB: half_space=True would halve the scan but splits clusters when cell
     # windows saturate (reverse-direction probes are the safety net)
-    nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, radius, k, window)
+    nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, radius, k, window,
+                                    group=u_group)
     u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters)
 
     u_label_ext = jnp.concatenate([u_label, jnp.full((1,), coords.shape[0], jnp.int32)])

@@ -28,15 +28,28 @@ from minsu3d_tpu.util.lr_decay import cosine_lr
 
 
 class MetricsLogger:
-    """JSONL + console logger (W&B stand-in; reference logs via WandbLogger)."""
+    """JSONL logger, optionally mirrored to W&B (reference trains under a
+    Lightning WandbLogger, train.py:27-29). ``kind: wandb`` uses the wandb
+    package when importable and falls back to JSONL-only with a loud warning
+    otherwise (the package is not in this image)."""
 
-    def __init__(self, path: str | None):
+    def __init__(self, path: str | None, kind: str = "jsonl",
+                 project: str | None = None, name: str | None = None):
         self.path = path
         if path:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
+        self._wandb = None
+        if kind == "wandb":
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=project, name=name)
+            except Exception as e:  # package missing / no credentials
+                print(f"[logger] wandb requested but unavailable ({type(e).__name__}: {e}); "
+                      "logging to JSONL only", flush=True)
 
     def log(self, record: dict) -> None:
         record = {k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
@@ -44,10 +57,15 @@ class MetricsLogger:
         if self._f:
             self._f.write(json.dumps(record) + "\n")
             self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in record.items()
+                             if isinstance(v, (int, float))})
 
     def close(self):
         if self._f:
             self._f.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 class Trainer:
@@ -70,9 +88,12 @@ class Trainer:
         self.opt_state = None
         self._steps: dict[tuple, Any] = {}
         self._eval_fns: dict[tuple, Any] = {}
+        log_cfg = cfg.model.get("logger") or {}
         self.logger = MetricsLogger(
             os.path.join(cfg.exp_output_root_path, "metrics.jsonl")
-            if cfg.get("exp_output_root_path") else None)
+            if cfg.get("exp_output_root_path") else None,
+            kind=log_cfg.get("kind", "jsonl"),
+            project=log_cfg.get("project"), name=log_cfg.get("name"))
         self.ckpt_dir = cfg.model.checkpoint.dirpath if cfg.model.checkpoint.get("dirpath") else None
         if ckpt_path:
             self.load_checkpoint(ckpt_path)

@@ -138,6 +138,61 @@ class TestBallQueryCC:
         assert sizes == [2, 3, 4]
 
 
+class TestBallQuerySchedules:
+    """The fused (N, n_off*W) pass and the fori_loop schedule must agree
+    bit-for-bit (same candidate enumeration order), and group-keyed queries
+    must return only same-group neighbors."""
+
+    def _pts(self, seed, n=600):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(0, 1.5, (n, 3)).astype(np.float32)
+        batch = rng.integers(0, 2, n).astype(np.int32)
+        valid = rng.random(n) > 0.1
+        group = rng.integers(0, 3, n).astype(np.int32)
+        return pts, batch, valid, group
+
+    def test_fused_matches_loop(self):
+        pts, batch, valid, group = self._pts(7)
+        for g in (None, jnp.array(group)):
+            a_idx, a_ok = ball_query(jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                                     0.08, 12, 8, group=g, fused=True)
+            b_idx, b_ok = ball_query(jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                                     0.08, 12, 8, group=g, fused=False)
+            np.testing.assert_array_equal(np.asarray(a_ok), np.asarray(b_ok))
+            np.testing.assert_array_equal(np.asarray(a_idx), np.asarray(b_idx))
+
+    def test_group_key_restricts_neighbors(self):
+        pts, batch, valid, group = self._pts(8)
+        idx, ok = ball_query(jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                             0.08, 16, 16, group=jnp.array(group))
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        for i in range(0, len(pts), 13):
+            nbrs = idx[i][ok[i]]
+            if len(nbrs):
+                assert (group[nbrs] == group[i]).all()
+                assert (batch[nbrs] == batch[i]).all()
+                d = np.linalg.norm(pts[nbrs] - pts[i], axis=1)
+                assert (d <= 0.08 + 1e-5).all()
+
+    def test_group_key_cc_matches_oracle(self):
+        pts, batch, valid, group = self._pts(9, n=400)
+        batch[:] = 0
+        valid[:] = True
+        r = 0.1
+        clus = cluster_points(jnp.array(pts), jnp.array(batch), jnp.ones(len(pts), bool),
+                              jnp.array(group), r, 24, 24, 512)
+        got = np.asarray(clus.point_cluster)
+        adj = np_ball_graph(pts, batch, np.ones(len(pts), bool), r)
+        adj &= group[:, None] == group[None, :]
+        ref = np_connected_components(adj, group)
+        for lab in np.unique(ref):
+            members = np.flatnonzero(ref == lab)
+            assert len(np.unique(got[members])) == 1
+        for lab in np.unique(got):
+            members = np.flatnonzero(got == lab)
+            assert len(np.unique(ref[members])) == 1
+
+
 class TestSegmentOps:
     def test_sec_mean_min_max_roipool(self):
         rng = np.random.default_rng(0)

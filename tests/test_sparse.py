@@ -169,3 +169,112 @@ class TestSparseConv:
         g1, g2 = jax.grad(loss, argnums=(0, 1))(feats_v, w)
         assert np.isfinite(np.asarray(g1)).all() and np.isfinite(np.asarray(g2)).all()
         assert float(jnp.abs(g2).sum()) > 0
+
+
+class TestHostPlan:
+    """The C++ host plan builder must be bit-identical to the device builder
+    (they are interchangeable paths of general_model.build_scene_plan)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_lib(self):
+        from minsu3d_tpu.csrc import native
+
+        if not native.available():
+            import subprocess, sys
+            subprocess.run([sys.executable, "-m", "minsu3d_tpu.csrc.build"],
+                           check=False, capture_output=True)
+            native._TRIED = False
+        if not native.available():
+            pytest.skip("native host lib not built")
+
+    def test_matches_device_builder(self):
+        from minsu3d_tpu.csrc import native
+
+        rng = np.random.default_rng(3)
+        n_rows = 700
+        coords = rng.integers(0, 30, size=(n_rows, 3)).astype(np.int32)
+        batch = rng.integers(0, 2, size=(n_rows,)).astype(np.int32)
+        valid = rng.random(n_rows) > 0.15
+        caps = [512, 256, 128]
+
+        plan, r2v, _ = sparse.build_plan(
+            jnp.array(batch), jnp.array(coords), jnp.array(valid), caps, 3,
+            jnp.array(rng.normal(size=(n_rows, 4)).astype(np.float32)))
+        host = native.build_plan_host(batch, coords, valid, caps, 3)
+        assert host is not None
+
+        np.testing.assert_array_equal(np.asarray(r2v), host["plan_row2voxel"])
+        for lvl in range(3):
+            dev = plan.levels[lvl]
+            for name, got in [
+                ("khi", host[f"plan{lvl}_khi"]), ("klo", host[f"plan{lvl}_klo"]),
+                ("coords", host[f"plan{lvl}_coords"]),
+                ("valid", host[f"plan{lvl}_valid"]),
+                ("nbr_idx", host[f"plan{lvl}_nbr"]),
+            ]:
+                want = np.asarray(getattr(dev, name))
+                if name in ("coords",):  # device zeroes invalid coords
+                    want = want * np.asarray(dev.valid)[:, None]
+                    got = got * host[f"plan{lvl}_valid"][:, None]
+                np.testing.assert_array_equal(got, want, err_msg=f"level {lvl} {name}")
+            # batch ids only meaningful on valid rows
+            np.testing.assert_array_equal(
+                host[f"plan{lvl}_batch"] * host[f"plan{lvl}_valid"],
+                np.asarray(dev.batch) * np.asarray(dev.valid), err_msg=f"level {lvl} batch")
+            assert int(host[f"plan{lvl}_count"]) == int(dev.count)
+            assert int(host[f"plan{lvl}_dropped"]) == int(dev.n_dropped)
+            if lvl < 2:
+                np.testing.assert_array_equal(
+                    host[f"plan{lvl}_parent"], np.asarray(plan.levels[lvl].parent_idx),
+                    err_msg=f"level {lvl} parent")
+                np.testing.assert_array_equal(
+                    host[f"plan{lvl}_kid"], np.asarray(plan.levels[lvl].child_kid),
+                    err_msg=f"level {lvl} kid")
+
+    def test_overflow_matches_device(self):
+        from minsu3d_tpu.csrc import native
+
+        rng = np.random.default_rng(4)
+        batch, coords = random_voxels(rng, 400, extent=12, batches=2)
+        valid = np.ones(len(batch), bool)
+        caps = [64, 32]  # force drops
+        plan, r2v, _ = sparse.build_plan(
+            jnp.array(batch), jnp.array(coords), jnp.array(valid), caps, 2, None)
+        host = native.build_plan_host(batch, coords, valid, caps, 2)
+        np.testing.assert_array_equal(np.asarray(r2v), host["plan_row2voxel"])
+        for lvl in range(2):
+            assert int(host[f"plan{lvl}_dropped"]) == int(plan.levels[lvl].n_dropped)
+            np.testing.assert_array_equal(host[f"plan{lvl}_khi"],
+                                          np.asarray(plan.levels[lvl].khi))
+            np.testing.assert_array_equal(host[f"plan{lvl}_nbr"],
+                                          np.asarray(plan.levels[lvl].nbr_idx))
+
+    def test_scene_plan_feature_path(self):
+        """build_scene_plan with host-plan batch keys gathers the same
+        representative features as the device sort pipeline."""
+        from minsu3d_tpu.csrc import native
+        from minsu3d_tpu.model.general_model import build_scene_plan
+
+        rng = np.random.default_rng(5)
+        n_rows = 300
+        coords = rng.integers(0, 20, size=(n_rows, 3)).astype(np.int32)
+        batch_ids = rng.integers(0, 2, size=(n_rows,)).astype(np.int32)
+        valid = rng.random(n_rows) > 0.1
+        feats = rng.normal(size=(n_rows, 5)).astype(np.float32)
+        p2v = rng.integers(0, n_rows, size=(50,)).astype(np.int32)
+        caps = [256, 128]
+
+        base = {
+            "voxel_batch": jnp.array(batch_ids), "voxel_coords": jnp.array(coords),
+            "voxel_mask": jnp.array(valid), "voxel_feats": jnp.array(feats),
+            "p2v": jnp.array(p2v),
+        }
+        plan_d, v2p_d, feats_d = build_scene_plan(dict(base), caps, 2)
+        host = native.build_plan_host(batch_ids, coords, valid, caps, 2)
+        hb = dict(base)
+        hb.update({k: jnp.array(v) for k, v in host.items()})
+        plan_h, v2p_h, feats_h = build_scene_plan(hb, caps, 2)
+        np.testing.assert_array_equal(np.asarray(v2p_d), np.asarray(v2p_h))
+        np.testing.assert_array_equal(np.asarray(feats_d), np.asarray(feats_h))
+        np.testing.assert_array_equal(np.asarray(plan_d.levels[0].nbr_idx),
+                                      np.asarray(plan_h.levels[0].nbr_idx))
