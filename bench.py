@@ -78,7 +78,9 @@ def main() -> None:
         f"data.caps.eval_points={_round_up(max_pts * pack + 1024, 8192)}",
         f"data.caps.eval_voxels={_round_up(max_vox * pack + 1024, 8192)}",
         f"data.caps.eval_instances={max(64, max_inst * pack)}",
-        "data.caps.cluster_units=65536",  # shared across the pack — the point
+        # ~52k (voxel,class) units per trained-net scene; cap must hold the
+        # whole pack or make_units silently drops units
+        f"data.caps.cluster_units={_round_up(57344 * pack, 8192)}",
     ])
     caps = shard_caps(cfg, "val")
 
@@ -155,7 +157,7 @@ def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
         obj = foreground_mask(sem_preds, batch["point_mask"], ignore)
         xyz = batch["point_xyz"]
         bids = batch["vert_batch_ids"]
-        units = gm.make_units(batch["p2v"], sem_preds, obj, scaps.cluster_units)
+        units, _ = gm.make_units(batch["p2v"], sem_preds, obj, scaps.cluster_units)
         clus = gm.cluster_step(xyz, bids, obj, sem_preds, radius, scaps, units)
         clus_shift = gm.cluster_step(xyz + offsets, bids, obj, sem_preds,
                                      radius, scaps, units)

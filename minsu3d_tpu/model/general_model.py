@@ -58,16 +58,18 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
     return plan, v2p, voxel_feats
 
 
-def make_units(key_hi: jax.Array, key_lo: jax.Array, active: jax.Array, u_cap: int) -> jax.Array:
+def make_units(key_hi: jax.Array, key_lo: jax.Array, active: jax.Array, u_cap: int):
     """Compact (key_hi, key_lo) pairs of active points into unit ids [0, u_cap).
 
     Used to form (voxel, predicted-class) clustering units (see
-    ops/cluster.py::cluster_units). Returns per-point unit id (u_cap = none).
-    """
+    ops/cluster.py::cluster_units). Returns (per-point unit id (u_cap = none),
+    dropped-unit count) — callers surface the count so a too-small
+    ``caps.cluster_units`` shows up in logs instead of silently shrinking
+    clusters (points of dropped units never cluster)."""
     coords = jnp.stack([jnp.clip(key_lo, 0, 1023),
                         jnp.zeros_like(key_lo), jnp.zeros_like(key_lo)], axis=1)
-    _, row2unit, _ = sparse.build_base(key_hi, coords, active, u_cap)
-    return row2unit
+    level, row2unit, _ = sparse.build_base(key_hi, coords, active, u_cap)
+    return row2unit, level.n_dropped
 
 
 def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None):

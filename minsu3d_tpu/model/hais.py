@@ -129,7 +129,8 @@ class HAISNet(nn.Module):
         shifted = batch["point_xyz"] + jax.lax.stop_gradient(out["point_offsets"])
         bids = batch["vert_batch_ids"]
 
-        units = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
+        units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
+        out["units_dropped"] = units_dropped
         clus = gm.cluster_step(shifted, bids, obj, sem_preds,
                                self.point_aggr_radius, c, units)
         rows = hierarchical_aggregation(

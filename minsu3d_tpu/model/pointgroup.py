@@ -96,7 +96,8 @@ class PointGroupNet(nn.Module):
         xyz = batch["point_xyz"]
         shifted = xyz + jax.lax.stop_gradient(out["point_offsets"])
         bids = batch["vert_batch_ids"]
-        units = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
+        units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
+        out["units_dropped"] = units_dropped
 
         clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c, units)
         clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,

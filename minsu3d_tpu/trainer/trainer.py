@@ -204,7 +204,10 @@ class Trainer:
                     agg[k] = agg.get(k, 0.0) + float(v)
                 nsteps += 1
             record = {f"train/{k}": v / max(nsteps, 1) for k, v in agg.items()}
-            record.update(epoch=self.epoch, lr=lr, epoch_time=time.time() - t0)
+            dt = time.time() - t0
+            record.update(epoch=self.epoch, lr=lr, epoch_time=dt,
+                          scenes_per_sec=nsteps * cfg.data.batch_size
+                          * self.num_shards / max(dt, 1e-9))
             self.logger.log(record)
             print(f"[epoch {self.epoch}] " +
                   " ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in record.items()

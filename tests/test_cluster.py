@@ -269,7 +269,7 @@ class TestUnitClustering:
         vox -= vox.min(0)
         key = (vox[:, 0].astype(np.int64) * 4096 + vox[:, 1]) * 4096 + vox[:, 2]
         _, p2v = np.unique(key, return_inverse=True)
-        units = make_units(jnp.array(p2v.astype(np.int32)), group, valid, 512)
+        units, _ = make_units(jnp.array(p2v.astype(np.int32)), group, valid, 512)
 
         r = 0.06
         got = np.asarray(cluster_units(jnp.array(pts), batch, valid, group,

@@ -104,3 +104,51 @@ def test_softgroup_grouping_merges_classes():
     a = set(pid[valid & (pt < 200)])
     b = set(pid[valid & (pt >= 200)])
     assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_softgroup_packed_matches_scan():
+    """soft_grouping_packed must produce the same proposal partition as the
+    per-class scan (they are interchangeable paths of SoftGroupNet)."""
+    from minsu3d_tpu.model.softgroup import soft_grouping, soft_grouping_packed
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    cfg = tiny_cfg("softgroup")
+    rng = np.random.default_rng(2)
+    n = 600
+    # overlapping blobs with soft class assignments: points near boundaries
+    # are active for two classes at once (the soft-grouping hallmark)
+    pts = np.concatenate([
+        rng.normal(0.0, 0.02, (200, 3)),
+        rng.normal(0.08, 0.02, (200, 3)),
+        rng.normal(3.0, 0.02, (200, 3)),
+    ]).astype(np.float32)
+    softmax = np.full((n, 20), 0.01, np.float32)
+    softmax[:200, 2] = 0.6
+    softmax[:200, 3] = 0.3
+    softmax[200:400, 3] = 0.6
+    softmax[200:400, 2] = 0.3
+    softmax[400:, 4] = 0.9
+    batch = rng.integers(0, 2, n).astype(np.int32)
+    mask = rng.random(n) > 0.05
+    p2v = np.arange(n, dtype=np.int32)  # 1 point per voxel (point granularity)
+    point_num_avg = jnp.full(20, 100.0)
+
+    def partition(rows):
+        pid = np.asarray(rows.prop_id)
+        valid = np.asarray(rows.valid)
+        pt = np.asarray(rows.point_idx)
+        groups = {}
+        for p, i in zip(pid[valid], pt[valid]):
+            groups.setdefault(int(p), set()).add(int(i))
+        return {frozenset(v) for v in groups.values()}
+
+    for granularity in ("unit", "point"):
+        caps = StaticCaps.from_cfg(cfg, "train")._replace(
+            unit_clustering=(granularity == "unit"))
+        args = (jnp.array(softmax), jnp.array(pts), jnp.array(batch),
+                jnp.array(mask), tuple(range(2, 20)), 0.2, 0.04,
+                0.05, point_num_avg, 20, 200, caps)
+        scan_rows = soft_grouping(*args, p2v=jnp.array(p2v))
+        packed_rows = soft_grouping_packed(*args, jnp.array(p2v), pair_cap=2 * n)
+        assert int(scan_rows.n_proposals) == int(packed_rows.n_proposals), granularity
+        assert partition(scan_rows) == partition(packed_rows), granularity

@@ -115,7 +115,7 @@ class TestOracleHAIS:
         from minsu3d_tpu.model.caps import StaticCaps
 
         caps = StaticCaps.from_cfg(cfg, "val")
-        units = gm.make_units(jnp.array(batch["p2v"]), sem_preds, obj, caps.cluster_units)
+        units, _ = gm.make_units(jnp.array(batch["p2v"]), sem_preds, obj, caps.cluster_units)
         clus = gm.cluster_step(shifted, bids, obj, sem_preds,
                                cfg.model.network.point_aggr_radius, caps, units)
         # synthetic objects have ~600 pts; set class means so they are primaries
