@@ -44,11 +44,14 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
+        # stats in f32 even when activations are stored bf16 (a bf16 sum over
+        # ~100k rows loses the mean entirely); output returns to x.dtype
+        x32 = x.astype(jnp.float32)
         if train:
-            m = mask[:, None].astype(x.dtype)
+            m = mask[:, None].astype(jnp.float32)
             cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0) / cnt
-            var = jnp.sum((x - mean) ** 2 * m, axis=0) / cnt
+            mean = jnp.sum(x32 * m, axis=0) / cnt
+            var = jnp.sum((x32 - mean) ** 2 * m, axis=0) / cnt
             if not self.is_initializing():
                 # torch running stats use the unbiased batch variance
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
@@ -57,7 +60,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return jnp.where(mask[:, None], y, 0).astype(x.dtype)
 
 
@@ -218,6 +221,10 @@ class Backbone(nn.Module):
     def __call__(self, voxel_feats: jax.Array, plan: GridPlan, v2p: jax.Array,
                  point_mask: jax.Array, train: bool) -> dict:
         m = self.output_channel
+        # store activations in the compute dtype: halves the HBM traffic of
+        # every conv gather/scatter (stats and heads still run in f32)
+        if self.compute_dtype is not None:
+            voxel_feats = voxel_feats.astype(self.compute_dtype)
         x = SubmConv(self.input_channel, m, self.compute_dtype, name="input_conv")(
             voxel_feats, plan.levels[0])
         x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
