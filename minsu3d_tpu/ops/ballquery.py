@@ -70,8 +70,9 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     offs = jnp.array(offsets, jnp.int32)                       # (n_off, 3)
     n_off = len(offsets)
 
-    # all neighbor-cell run starts in one sorted-union pass:
-    # lower_bound(key) == upper_bound(key - 1)
+    # all neighbor-cell run bounds in two sorted-union passes:
+    # run = [upper_bound(key - 1), upper_bound(key)) — knowing the run END
+    # means NO key-comparison gathers in the window scan below
     q_cell = cell[None, :, :] + offs[:, None, :]               # (n_off, N, 3)
     in_rng = jnp.all((q_cell >= 0) & (q_cell < hs.COORD_MAX), axis=-1) & valid[None, :]
     q_hi, q_lo = hs.pack(jnp.broadcast_to(key_hi[None, :], (n_off, n)),
@@ -93,14 +94,20 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         # offsets are disjoint (each point lives in exactly one cell), so a
         # single per-point cumsum over the flattened (n_off*W) axis assigns
         # output slots exactly like the sequential fill counter did.
+        # Slot validity comes from run bounds (pos < end), so the only
+        # window fetches are perm + PRE-PERMUTED coords — 4 elements/slot
+        # instead of 6, and every window reads consecutive rows of the
+        # sorted arrays (gathers with locality, not random access).
+        _, _, ends = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1))
+        ends = ends.reshape(n_off, n)
+        coords_s_ext = jnp.concatenate([coords[perm], jnp.zeros((1, 3), coords.dtype)], 0)
+
         pos = starts[:, :, None] + jnp.arange(window, dtype=jnp.int32)[None, None, :]
         pos_c = jnp.minimum(pos, n)
-        same_cell = (s_hi_ext[pos_c] == q_hi[:, :, None]) & \
-                    (s_lo_ext[pos_c] == q_lo[:, :, None]) & (pos < n) & \
-                    (q_hi[:, :, None] != hs.SENTINEL)
-        cand = jnp.where(same_cell, perm_ext[pos_c], n)         # (n_off, N, W)
-        d = coords_ext[cand] - coords[None, :, None, :]
-        ok = same_cell & (jnp.sum(d * d, axis=-1) <= r2) & valid[None, :, None]
+        slot = (pos < ends[:, :, None]) & in_rng[:, :, None]
+        d = coords_s_ext[pos_c] - coords[None, :, None, :]
+        ok = slot & (jnp.sum(d * d, axis=-1) <= r2)
+        cand = jnp.where(ok, perm_ext[pos_c], n)                # (n_off, N, W)
 
         ok_t = ok.transpose(1, 0, 2).reshape(n, n_off * window)
         cand_t = cand.transpose(1, 0, 2).reshape(n, n_off * window)

@@ -1,10 +1,13 @@
 #!/bin/bash
-# Golden harness: after the 60-epoch run, eval_synth_pointgroup.sh must report
-# AP 0.427 / AP50 0.577 / AP25 0.615 / BBoxAP50 0.654 (regression oracle for
-# any clustering/engine change — unit tests alone missed a scale-only bug).
+# Golden harness: after the 60+60-epoch run (train_synth_pointgroup.sh then
+# train_synth_pointgroup2.sh), this eval must report
+# AP 0.668 / AP50 0.756 / AP25 0.756 / BBoxAP50 0.756 / mIoU 97.1
+# (regression oracle for any clustering/engine change — unit tests alone
+# missed a scale-only bug once; round-1 numbers with the 60-epoch recipe were
+# AP 0.427 / AP50 0.577).
 cd /root/repo
 exec python -u test.py model=pointgroup data=synthetic \
-  model.ckpt_path=output/Synthetic/PointGroup/synth_convergence/training/epoch_60 \
+  model.ckpt_path=output/Synthetic/PointGroup/synth_convergence/training/epoch_120 \
   model.network.prepare_epochs=20 model.trainer.num_sanity_val_steps=0 \
   data.synthetic.train_scenes=12 data.synthetic.val_scenes=3 \
   data.synthetic.num_objects=8 data.synthetic.points_per_object=3000 \
