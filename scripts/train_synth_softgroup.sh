@@ -9,8 +9,9 @@ exec python -u train.py model=softgroup data=synthetic \
   data.synthetic.num_objects=8 data.synthetic.points_per_object=3000 \
   data.synthetic.floor_points=16000 \
   data.batch_size=2 model.trainer.devices=1 \
-  data.caps.points=131072 data.caps.voxels=131072 \
-  data.caps.eval_points=131072 data.caps.eval_voxels=98304 \
+  data.caps.points=90112 data.caps.voxels=81920 \
+  data.caps.eval_points=49152 data.caps.eval_voxels=40960 \
+  data.caps.cluster_units=49152 \
   data.caps.instances=64 data.caps.eval_instances=64 \
   data.caps.clusters=512 data.caps.proposals=128 \
   model.optimizer.lr=0.004 model.lr_decay.decay_start_epoch=50 \
