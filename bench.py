@@ -65,6 +65,7 @@ def main() -> None:
 
     base_overrides = ["model=pointgroup", "data=scannetv2",
                       "model.trainer.precision=bfloat16"]
+    base_overrides += os.environ.get("MINSU3D_BENCH_OVERRIDES", "").split()
     cfg0 = load_config(base_overrides)
     scenes = [make_scene(seed=s, num_objects=12, points_per_object=6000,
                          floor_points=40000, room=8.0) for s in range(n_scenes)]

@@ -16,6 +16,8 @@ class StaticCaps(NamedTuple):
     proposal_voxel_caps: tuple # proposal mini-grid capacities (TinyUnet levels)
     cluster_units: int         # (voxel, class) unit capacity
     unit_clustering: bool      # cluster at unit (True) or point granularity
+    half_space: bool           # scan 13+1 forward cells only (CC's symmetric
+                               # scatter-min recovers reverse edges)
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -35,4 +37,5 @@ class StaticCaps(NamedTuple):
             proposal_voxel_caps=(caps.proposal_voxels, max(caps.proposal_voxels // 2, 1024)),
             cluster_units=min(caps.get("cluster_units", 65536), points),
             unit_clustering=caps.get("cluster_granularity", "unit") == "unit",
+            half_space=bool(caps.get("bq_half_space", False)),
         )

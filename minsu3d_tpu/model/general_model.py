@@ -80,9 +80,11 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None):
         # units aggregate ~(r/voxel)^3 points, so much smaller K/window suffice
         return cluster_units(coords, batch_ids, active, group, unit_id,
                              caps.cluster_units, radius, max(caps.neighbors // 2, 8),
-                             max(caps.window // 4, 8), caps.clusters, caps.cc_iters)
+                             max(caps.window // 4, 8), caps.clusters, caps.cc_iters,
+                             half_space=caps.half_space)
     return cluster_points(coords, batch_ids, active, group, radius,
-                          caps.neighbors, caps.window, caps.clusters, caps.cc_iters)
+                          caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
+                          half_space=caps.half_space)
 
 
 def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:

@@ -97,12 +97,12 @@ def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
 
 def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
                    group: jax.Array | None, radius: float, k: int, window: int,
-                   c_cap: int, max_iters: int = 64) -> Clusters:
+                   c_cap: int, max_iters: int = 64, half_space: bool = False) -> Clusters:
     """ball_query + connected_components + compaction in one call."""
     from minsu3d_tpu.ops.ballquery import ball_query
 
     nbr_idx, nbr_valid = ball_query(coords, batch, active, radius, k, window,
-                                    group=group)
+                                    half_space=half_space, group=group)
     label = connected_components(nbr_idx, nbr_valid, active, group, max_iters)
     return compact_labels(label, active, c_cap)
 
@@ -110,7 +110,7 @@ def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
 def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                   group: jax.Array | None, unit_id: jax.Array, u_cap: int,
                   radius: float, k: int, window: int, c_cap: int,
-                  max_iters: int = 64) -> Clusters:
+                  max_iters: int = 64, half_space: bool = False) -> Clusters:
     """Connected components at unit granularity (TPU-first redesign).
 
     The reference BFS-clusters raw points; at 2cm voxels and a 3cm ball
@@ -137,10 +137,11 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
 
     from minsu3d_tpu.ops.ballquery import ball_query
 
-    # NB: half_space=True would halve the scan but splits clusters when cell
-    # windows saturate (reverse-direction probes are the safety net)
+    # half_space halves the scan; safe at production caps now that group keys
+    # keep runs short (50k-point scale test: 0 splits/merges at K16/W8), but
+    # gated behind caps.half_space until a golden-AP run confirms
     nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, radius, k, window,
-                                    group=u_group)
+                                    half_space=half_space, group=u_group)
     u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters)
 
     u_label_ext = jnp.concatenate([u_label, jnp.full((1,), coords.shape[0], jnp.int32)])
