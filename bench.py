@@ -60,7 +60,9 @@ def main() -> None:
     from minsu3d_tpu.model import get_model
 
     n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    pack = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # pack=1 default: clustering cost scales with the unit cap, which must
+    # hold the whole pack, so packing does not amortize the dominant stage
+    pack = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_scenes = _round_up(n_scenes, pack)
 
     base_overrides = ["model=pointgroup", "data=scannetv2",

@@ -90,27 +90,37 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     q_lo = q_lo.reshape(n_off, n)
 
     if fused:
-        # one (n_off, N, W) candidate tensor; a point's candidates across
+        # one (n_off, W, N) candidate tensor; a point's candidates across
         # offsets are disjoint (each point lives in exactly one cell), so a
         # single per-point cumsum over the flattened (n_off*W) axis assigns
         # output slots exactly like the sequential fill counter did.
         # Slot validity comes from run bounds (pos < end), so the only
-        # window fetches are perm + PRE-PERMUTED coords — 4 elements/slot
-        # instead of 6, and every window reads consecutive rows of the
-        # sorted arrays (gathers with locality, not random access).
+        # window fetches are perm + PRE-PERMUTED coordinates.
+        # Layout rules (TPU tiles (8, 128) on the two minor dims): N goes in
+        # the MINOR dim — (n_off, N, W) or (..., 3) temps pad 8->128 / 3->128
+        # (up to 42x HBM blowup, observed OOM); x/y/z gather as three 1-D
+        # arrays for the same reason.
         _, _, ends = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1))
         ends = ends.reshape(n_off, n)
-        coords_s_ext = jnp.concatenate([coords[perm], jnp.zeros((1, 3), coords.dtype)], 0)
+        coords_s = coords[perm]
+        zero1 = jnp.zeros((1,), coords.dtype)
+        xs = jnp.concatenate([coords_s[:, 0], zero1])
+        ys = jnp.concatenate([coords_s[:, 1], zero1])
+        zs = jnp.concatenate([coords_s[:, 2], zero1])
 
-        pos = starts[:, :, None] + jnp.arange(window, dtype=jnp.int32)[None, None, :]
-        pos_c = jnp.minimum(pos, n)
-        slot = (pos < ends[:, :, None]) & in_rng[:, :, None]
-        d = coords_s_ext[pos_c] - coords[None, :, None, :]
-        ok = slot & (jnp.sum(d * d, axis=-1) <= r2)
-        cand = jnp.where(ok, perm_ext[pos_c], n)                # (n_off, N, W)
+        pos = starts[:, None, :] + jnp.arange(window, dtype=jnp.int32)[None, :, None]
+        pos_c = jnp.minimum(pos, n)                              # (n_off, W, N)
+        slot = (pos < ends[:, None, :]) & in_rng[:, None, :]
+        dx = xs[pos_c] - coords[None, None, :, 0]
+        dy = ys[pos_c] - coords[None, None, :, 1]
+        dz = zs[pos_c] - coords[None, None, :, 2]
+        ok = slot & (dx * dx + dy * dy + dz * dz <= r2)
+        cand = jnp.where(ok, perm_ext[pos_c], n)                 # (n_off, W, N)
 
-        ok_t = ok.transpose(1, 0, 2).reshape(n, n_off * window)
-        cand_t = cand.transpose(1, 0, 2).reshape(n, n_off * window)
+        # per-point slot assignment: order must match the loop schedule
+        # (offset-major, window-minor), hence the transpose to (N, n_off*W)
+        ok_t = ok.transpose(2, 0, 1).reshape(n, n_off * window)
+        cand_t = cand.transpose(2, 0, 1).reshape(n, n_off * window)
         col = jnp.cumsum(ok_t.astype(jnp.int32), axis=1) - 1
         store = ok_t & (col < k)
         col_c = jnp.where(store, col, k)                        # k = dropped

@@ -29,28 +29,34 @@ def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.A
     points get N.
     """
     n = nbr_idx.shape[0]
+    # work transposed: (K, N) keeps N in the minor dim — (N, K) arrays tile
+    # to (8, 128) on TPU, padding K=8..16 up to 128 (8-16x HBM waste on the
+    # arrays every sweep reads)
+    nbr_t = nbr_idx.T
+    valid_t = nbr_valid.T
     if group is not None:
         g_ext = jnp.concatenate([group, jnp.full((1,), -2, group.dtype)])
-        nbr_valid = nbr_valid & (g_ext[nbr_idx] == group[:, None])
+        valid_t = valid_t & (g_ext[nbr_t] == group[None, :])
     active_ext = jnp.concatenate([active, jnp.zeros((1,), bool)])
-    nbr_valid = nbr_valid & active[:, None] & active_ext[nbr_idx]
-    nbr_safe = jnp.where(nbr_valid, nbr_idx, n)
+    valid_t = valid_t & active[None, :] & active_ext[nbr_t]
+    nbr_safe = jnp.where(valid_t, nbr_t, n)
 
     label0 = jnp.where(active, jnp.arange(n, dtype=jnp.int32), n)
 
     def sweep(label):
         ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
         # gather: my label <- min over my neighbors
-        gathered = jnp.min(jnp.where(nbr_valid, ext[nbr_idx], n), axis=1)
+        gathered = jnp.min(jnp.where(valid_t, ext[nbr_t], n), axis=0)
         label = jnp.minimum(label, gathered)
         # scatter: my neighbors' labels <- min with mine (covers capped edges)
         ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
-        ext = ext.at[nbr_safe].min(jnp.broadcast_to(label[:, None], nbr_safe.shape))
+        ext = ext.at[nbr_safe].min(jnp.broadcast_to(label[None, :], nbr_safe.shape))
         label = jnp.minimum(label, ext[:n])
-        # pointer jumping x4: jumps cost O(N) gathers vs O(N*K) for edge
-        # sweeps, and each halves the pointer-tree depth — large trained-net
-        # clusters converge in far fewer (expensive) edge sweeps
-        for _ in range(4):
+        # pointer jumping x6: jumps cost O(N) gathers vs O(N*K) for edge
+        # sweeps, and each halves the pointer-tree depth — chain-shaped
+        # graphs (original-coordinate clustering) converge in far fewer
+        # (expensive) edge sweeps
+        for _ in range(6):
             ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
             label = jnp.minimum(label, ext[label])
         return jnp.where(active, label, n)
