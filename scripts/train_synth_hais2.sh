@@ -15,8 +15,8 @@ exec python -u train.py model=hais data=synthetic \
   data.synthetic.num_objects=8 data.synthetic.points_per_object=3000 \
   data.synthetic.floor_points=16000 \
   data.batch_size=2 model.trainer.devices=1 \
-  data.caps.points=90112 data.caps.voxels=81920 \
-  data.caps.eval_points=49152 data.caps.eval_voxels=40960 \
+  data.caps.points=98304 data.caps.voxels=90112 \
+  data.caps.eval_points=57344 data.caps.eval_voxels=49152 \
   data.caps.cluster_units=49152 \
   data.caps.instances=64 data.caps.eval_instances=64 \
   data.caps.clusters=512 data.caps.proposals=128 \
