@@ -99,11 +99,13 @@ class PointGroupNet(nn.Module):
         units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
         out["units_dropped"] = units_dropped
 
-        clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c, units)
-        clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
-                                     self.cluster_radius, c, units)
-        rows = merge_clusterings(
-            [clus, clus_shift], [self.cluster_npoint_thre] * 2, xyz.shape[0], c.proposals)
+        # both clusterings (original + shifted coords) run as ONE combined
+        # pass — one ball query, one CC while_loop (sweeps = max, not sum)
+        clus = gm.cluster_step_dual(xyz, shifted, bids, obj, sem_preds,
+                                    self.cluster_radius, c, units)
+        n = xyz.shape[0]
+        rows = merge_clusterings([clus], [self.cluster_npoint_thre], 2 * n, c.proposals)
+        rows = rows._replace(point_idx=jnp.tile(jnp.arange(n, dtype=jnp.int32), 2))
         out["proposal_rows"] = rows
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)

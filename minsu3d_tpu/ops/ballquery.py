@@ -117,10 +117,14 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         ok = slot & (dx * dx + dy * dy + dz * dz <= r2)
         cand = jnp.where(ok, perm_ext[pos_c], n)                 # (n_off, W, N)
 
-        # per-point slot assignment: order must match the loop schedule
-        # (offset-major, window-minor), hence the transpose to (N, n_off*W)
-        ok_t = ok.transpose(2, 0, 1).reshape(n, n_off * window)
-        cand_t = cand.transpose(2, 0, 1).reshape(n, n_off * window)
+        # per-point slot assignment, WINDOW-POSITION-MAJOR (w0 of every
+        # offset before any w1): K then takes >=1 candidate from every
+        # nonempty adjacent cell before any single dense run saturates it —
+        # offset-major order drops ALL cross-cell edges when the own-cell
+        # run alone fills K, which fragments dense blobs under half_space
+        # (no reverse probe exists there to recover the edge)
+        ok_t = ok.transpose(2, 1, 0).reshape(n, n_off * window)
+        cand_t = cand.transpose(2, 1, 0).reshape(n, n_off * window)
         col = jnp.cumsum(ok_t.astype(jnp.int32), axis=1) - 1
         store = ok_t & (col < k)
         col_c = jnp.where(store, col, k)                        # k = dropped
@@ -133,27 +137,28 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     nbr_valid = jnp.zeros((n, k), bool)
     fill = jnp.zeros((n,), jnp.int32)
 
-    def body(c, carry):
+    def body(w, carry):
+        # iterate WINDOW POSITIONS, all offsets per step — same interleaved
+        # candidate order as the fused schedule (see above)
         nbr_idx, nbr_valid, fill = carry
-        pos = starts[c][:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        pos = starts + w                                        # (n_off, N)
         pos_c = jnp.minimum(pos, n)
-        same_cell = (s_hi_ext[pos_c] == q_hi[c][:, None]) & \
-                    (s_lo_ext[pos_c] == q_lo[c][:, None]) & (pos < n) & \
-                    (q_hi[c][:, None] != hs.SENTINEL)
-        cand = perm_ext[pos_c]                                  # (N, W)
+        same_cell = (s_hi_ext[pos_c] == q_hi) & (s_lo_ext[pos_c] == q_lo) & \
+                    (pos < n) & (q_hi != hs.SENTINEL)
+        cand = perm_ext[pos_c]                                  # (n_off, N)
         cand_safe = jnp.where(same_cell, cand, n)
-        d = coords_ext[cand_safe] - coords[:, None, :]
-        ok = same_cell & (jnp.sum(d * d, axis=-1) <= r2) & valid[:, None]
+        d = coords_ext[cand_safe] - coords[None, :, :]
+        ok = same_cell & (jnp.sum(d * d, axis=-1) <= r2) & valid[None, :]
 
-        prefix = jnp.cumsum(ok.astype(jnp.int32), axis=1)
-        col = fill[:, None] + prefix - 1
+        prefix = jnp.cumsum(ok.astype(jnp.int32), axis=0)
+        col = fill[None, :] + prefix - 1
         store = ok & (col < k)
         col_c = jnp.where(store, col, k)                        # k = dropped
-        rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, window))
+        rows = jnp.broadcast_to(jnp.arange(n)[None, :], (n_off, n))
         nbr_idx = nbr_idx.at[rows, col_c].set(cand_safe, mode="drop")
         nbr_valid = nbr_valid.at[rows, col_c].set(store, mode="drop")
-        fill = jnp.minimum(fill + prefix[:, -1], k)
+        fill = jnp.minimum(fill + prefix[-1], k)
         return nbr_idx, nbr_valid, fill
 
-    nbr_idx, nbr_valid, fill = jax.lax.fori_loop(0, n_off, body, (nbr_idx, nbr_valid, fill))
+    nbr_idx, nbr_valid, fill = jax.lax.fori_loop(0, window, body, (nbr_idx, nbr_valid, fill))
     return jnp.where(nbr_valid, nbr_idx, n), nbr_valid

@@ -373,3 +373,23 @@ class TestClusteringAtScale:
         for lab in np.unique(got):
             members = np.flatnonzero(got == lab)
             assert len(np.unique(ref[members])) == 1, "clusters merged"
+
+
+class TestHalfSpaceDenseBlob:
+    def test_corner_straddling_blob_stays_connected(self):
+        """A sigma=1/4-cell blob straddling a cell corner (8 cells, runs far
+        longer than W) must stay ONE component under half_space: the
+        window-position-major candidate interleave guarantees every adjacent
+        cell an edge before K saturates (offset-major order fragmented this
+        into 6 — all K slots went to the own-cell run)."""
+        rng = np.random.default_rng(0)
+        pts = rng.normal(0, 0.01, (200, 3)).astype(np.float32)
+        n = len(pts)
+        batch = jnp.zeros(n, jnp.int32)
+        valid = jnp.ones(n, bool)
+        for half in (True, False):
+            for fused in (True, False):
+                idx, ok = ball_query(jnp.array(pts), batch, valid, 0.04, 16, 16,
+                                     half_space=half, fused=fused)
+                lbl = np.asarray(connected_components(idx, ok, valid))
+                assert len(np.unique(lbl)) == 1, (half, fused)
