@@ -1,0 +1,19 @@
+#!/bin/bash
+# HAIS golden harness: after train_synth_hais2.sh (100 epochs), this eval must
+# report ~AP 0.885 / AP50 0.923 / mIoU 96.3 (the epoch-100 val numbers).
+cd /root/repo
+exec python -u test.py model=hais data=synthetic \
+  model.ckpt_path=output/Synthetic/HAIS/synth_hais2/training/epoch_100 \
+  model.network.prepare_epochs=25 model.trainer.num_sanity_val_steps=0 \
+  model.network.cal_iou_based_on_mask_start_epoch=40 \
+  model.network.use_mask_filter_score_feature_start_epoch=40 \
+  data.synthetic.train_scenes=12 data.synthetic.val_scenes=3 \
+  data.synthetic.num_objects=8 data.synthetic.points_per_object=3000 \
+  data.synthetic.floor_points=16000 \
+  data.batch_size=2 \
+  data.caps.points=98304 data.caps.voxels=90112 \
+  data.caps.eval_points=57344 data.caps.eval_voxels=49152 \
+  data.caps.cluster_units=49152 \
+  data.caps.instances=64 data.caps.eval_instances=64 \
+  data.caps.clusters=512 data.caps.proposals=128 \
+  experiment_name=synth_hais2
