@@ -168,11 +168,11 @@ def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
         xyz = batch["point_xyz"]
         bids = batch["vert_batch_ids"]
         units, _ = gm.make_units(batch["p2v"], sem_preds, obj, scaps.cluster_units)
-        clus = gm.cluster_step_dual(xyz, xyz + offsets, bids, obj, sem_preds,
-                                    radius, scaps, units)
-        n = xyz.shape[0]
-        rows = merge_clusterings([clus], [npoint_thre], 2 * n, scaps.proposals)
-        return rows._replace(point_idx=jnp.tile(jnp.arange(n, dtype=jnp.int32), 2))
+        clus = gm.cluster_step(xyz, bids, obj, sem_preds, radius, scaps, units)
+        clus_shift = gm.cluster_step(xyz + offsets, bids, obj, sem_preds,
+                                     radius, scaps, units)
+        return merge_clusterings([clus, clus_shift], [npoint_thre] * 2,
+                                 xyz.shape[0], scaps.proposals)
 
     stages = {}
     b0 = batches[0]

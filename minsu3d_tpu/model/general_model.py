@@ -87,45 +87,6 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None):
                           half_space=caps.half_space)
 
 
-def cluster_step_dual(coords_a: jax.Array, coords_b: jax.Array, batch_ids, active,
-                      group, radius, caps, unit_id):
-    """Cluster two coordinate sets (original + offset-shifted — PointGroup's
-    dual clustering, reference pointgroup.py:41-73) in ONE combined pass.
-
-    The second set's units get offset ids and odd batch keys, so the two
-    radius graphs stay disjoint while sharing one ball query and one CC
-    while_loop — the sweep count becomes max(s_a, s_b) instead of s_a + s_b
-    (original-coordinate graphs are chain-shaped and dominate sweeps).
-    Returns one Clusters over 2N rows (rows [0,N) = set a, [N,2N) = set b);
-    cluster ids are globally unique and ordered set-a-first (units of set a
-    have lower indices), matching the reference's proposal concat order.
-    """
-    from minsu3d_tpu.ops.cluster import cluster_units
-
-    if unit_id is None or not caps.unit_clustering:
-        from minsu3d_tpu.ops.cluster import cluster_points
-
-        return cluster_points(
-            jnp.concatenate([coords_a, coords_b]),
-            jnp.concatenate([batch_ids * 2, batch_ids * 2 + 1]),
-            jnp.concatenate([active, active]),
-            None if group is None else jnp.concatenate([group, group]),
-            radius, caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
-            half_space=caps.half_space)
-
-    u = caps.cluster_units
-    uid = jnp.where(active & (unit_id < u), unit_id, u)
-    uid2 = jnp.concatenate([uid, jnp.where(uid < u, uid + u, 2 * u)])
-    return cluster_units(
-        jnp.concatenate([coords_a, coords_b]),
-        jnp.concatenate([batch_ids * 2, batch_ids * 2 + 1]),
-        jnp.concatenate([active, active]),
-        None if group is None else jnp.concatenate([group, group]),
-        uid2, 2 * u, radius, max(caps.neighbors // 2, 8),
-        max(caps.window // 4, 8), caps.clusters, caps.cc_iters,
-        half_space=caps.half_space)
-
-
 def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:
     """Piecewise-linear soft targets (reference general_model.py:196-213)."""
     fg = scores > fg_thresh

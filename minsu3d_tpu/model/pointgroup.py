@@ -99,13 +99,16 @@ class PointGroupNet(nn.Module):
         units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
         out["units_dropped"] = units_dropped
 
-        # both clusterings (original + shifted coords) run as ONE combined
-        # pass — one ball query, one CC while_loop (sweeps = max, not sum)
-        clus = gm.cluster_step_dual(xyz, shifted, bids, obj, sem_preds,
-                                    self.cluster_radius, c, units)
-        n = xyz.shape[0]
-        rows = merge_clusterings([clus], [self.cluster_npoint_thre], 2 * n, c.proposals)
-        rows = rows._replace(point_idx=jnp.tile(jnp.arange(n, dtype=jnp.int32), 2))
+        # sequential dual clustering: a combined 2N-unit pass was tried and
+        # REVERTED — each merged CC sweep costs 2N, so total work becomes
+        # 2N*max(s_xyz, s_shift) vs N*(s_xyz+s_shift), a net loss because the
+        # original-coordinate graph needs far more sweeps than the shifted one
+        # (bench: cluster 1.39s -> 1.73s). See BENCH_NOTES.md.
+        clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c, units)
+        clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
+                                     self.cluster_radius, c, units)
+        rows = merge_clusterings(
+            [clus, clus_shift], [self.cluster_npoint_thre] * 2, xyz.shape[0], c.proposals)
         out["proposal_rows"] = rows
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)

@@ -153,49 +153,3 @@ def test_softgroup_packed_matches_scan():
         assert int(scan_rows.n_proposals) == int(packed_rows.n_proposals), granularity
         assert partition(scan_rows) == partition(packed_rows), granularity
 
-
-def test_pointgroup_dual_clustering_matches_sequential():
-    """cluster_step_dual + single merge must equal the two sequential
-    cluster_step calls + two-clustering merge bit-for-bit (proposal ids
-    included: combined compaction orders set-a clusters first, like the
-    reference's proposals concat)."""
-    import jax.numpy as jnp
-    from minsu3d_tpu.model import general_model as gm
-    from minsu3d_tpu.model.pointgroup import merge_clusterings
-    from minsu3d_tpu.model.caps import StaticCaps
-
-    cfg = tiny_cfg("pointgroup")
-    caps = StaticCaps.from_cfg(cfg, "train")
-    rng = np.random.default_rng(4)
-    n = 500
-    xyz = np.concatenate([c + rng.normal(0, 0.015, (100, 3))
-                          for c in rng.uniform(0, 2.5, (5, 3))]).astype(np.float32)
-    shifted = xyz + rng.normal(0, 0.01, xyz.shape).astype(np.float32)
-    bids = rng.integers(0, 2, n).astype(np.int32)
-    obj = rng.random(n) > 0.1
-    sem = rng.integers(2, 6, n).astype(np.int32)
-    p2v = rng.integers(0, 400, n).astype(np.int32)
-    thr = 10
-
-    for granularity in (True, False):
-        c = caps._replace(unit_clustering=granularity)
-        units = None
-        if granularity:
-            units, _ = gm.make_units(jnp.array(p2v), jnp.array(sem),
-                                     jnp.array(obj), c.cluster_units)
-        a = gm.cluster_step(jnp.array(xyz), jnp.array(bids), jnp.array(obj),
-                            jnp.array(sem), 0.06, c, units)
-        b = gm.cluster_step(jnp.array(shifted), jnp.array(bids), jnp.array(obj),
-                            jnp.array(sem), 0.06, c, units)
-        seq = merge_clusterings([a, b], [thr] * 2, n, c.proposals)
-
-        dual = gm.cluster_step_dual(jnp.array(xyz), jnp.array(shifted),
-                                    jnp.array(bids), jnp.array(obj),
-                                    jnp.array(sem), 0.06, c, units)
-        got = merge_clusterings([dual], [thr], 2 * n, c.proposals)
-        got = got._replace(point_idx=jnp.tile(jnp.arange(n, dtype=jnp.int32), 2))
-
-        assert int(seq.n_proposals) == int(got.n_proposals), granularity
-        np.testing.assert_array_equal(np.asarray(seq.point_idx), np.asarray(got.point_idx))
-        np.testing.assert_array_equal(np.asarray(seq.valid), np.asarray(got.valid))
-        np.testing.assert_array_equal(np.asarray(seq.prop_id), np.asarray(got.prop_id))
