@@ -44,19 +44,23 @@ def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.A
     label0 = jnp.where(active, jnp.arange(n, dtype=jnp.int32), n)
 
     def sweep(label):
+        # ROOT HOOKING (Shiloach–Vishkin style), not plain min-flooding:
+        # scatter-mins target neighbor ROOTS (label values as indices), so a
+        # whole tree adopts a smaller root in one round and convergence is
+        # O(log diameter) rounds — flooding onto neighbor NODES propagates
+        # ~1 hop/sweep and needed 36-48 sweeps on original-coordinate graphs
+        # (measured; more than the cc_iters budget).
         ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
-        # gather: my label <- min over my neighbors
-        gathered = jnp.min(jnp.where(valid_t, ext[nbr_t], n), axis=0)
-        label = jnp.minimum(label, gathered)
-        # scatter: my neighbors' labels <- min with mine (covers capped edges)
+        rv = jnp.where(valid_t, ext[nbr_t], n)        # neighbors' roots (K, N)
+        m = jnp.minimum(jnp.min(rv, axis=0), label)   # best root seen per node
         ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
-        ext = ext.at[nbr_safe].min(jnp.broadcast_to(label[None, :], nbr_safe.shape))
+        # my root <- best root among my neighbors
+        ext = ext.at[jnp.minimum(label, n)].min(m)
+        # neighbors' roots <- my root (covers half-space/capped reverse edges)
+        ext = ext.at[rv].min(jnp.broadcast_to(label[None, :], rv.shape), mode="drop")
         label = jnp.minimum(label, ext[:n])
-        # pointer jumping x6: jumps cost O(N) gathers vs O(N*K) for edge
-        # sweeps, and each halves the pointer-tree depth — chain-shaped
-        # graphs (original-coordinate clustering) converge in far fewer
-        # (expensive) edge sweeps
-        for _ in range(6):
+        # pointer compression: pull the hooked roots down the trees
+        for _ in range(4):
             ext = jnp.concatenate([label, jnp.full((1,), n, jnp.int32)])
             label = jnp.minimum(label, ext[label])
         return jnp.where(active, label, n)
