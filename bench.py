@@ -176,7 +176,7 @@ def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
         clus_shift = gm.cluster_step(xyz + offsets, bids, obj, sem_preds,
                                      radius, scaps, units)
         return merge_clusterings([clus, clus_shift], [npoint_thre] * 2,
-                                 xyz.shape[0], scaps.proposals)
+                                 xyz.shape[0], scaps.proposals)[0]
 
     stages = {}
     b0 = batches[0]

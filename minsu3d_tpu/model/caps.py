@@ -18,6 +18,8 @@ class StaticCaps(NamedTuple):
     unit_clustering: bool      # cluster at unit (True) or point granularity
     half_space: bool           # scan 13+1 forward cells only (CC's symmetric
                                # scatter-min recovers reverse edges)
+    edge_factor: int = 0       # ball-query edge-buffer slots per point/unit
+                               # (0 = dense fused (n_off, W, N) schedule)
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -38,4 +40,5 @@ class StaticCaps(NamedTuple):
             cluster_units=min(caps.get("cluster_units", 65536), points),
             unit_clustering=caps.get("cluster_granularity", "unit") == "unit",
             half_space=bool(caps.get("bq_half_space", False)),
+            edge_factor=int(caps.get("bq_edge_factor", 0)),
         )

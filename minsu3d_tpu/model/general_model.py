@@ -58,6 +58,15 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
     return plan, v2p, voxel_feats
 
 
+def plan_dropped(plan) -> jax.Array:
+    """Total voxels lost to level-capacity overflow across the plan —
+    surfaced in ``out["diag"]`` so mis-set ``data.caps.*`` show up in logs."""
+    total = jnp.int32(0)
+    for lv in plan.levels:
+        total = total + lv.n_dropped
+    return total
+
+
 def make_units(key_hi: jax.Array, key_lo: jax.Array, active: jax.Array, u_cap: int):
     """Compact (key_hi, key_lo) pairs of active points into unit ids [0, u_cap).
 
@@ -81,10 +90,12 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None):
         return cluster_units(coords, batch_ids, active, group, unit_id,
                              caps.cluster_units, radius, max(caps.neighbors // 2, 8),
                              max(caps.window // 4, 8), caps.clusters, caps.cc_iters,
-                             half_space=caps.half_space)
+                             half_space=caps.half_space,
+                             edge_cap=caps.edge_factor * caps.cluster_units)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
-                          half_space=caps.half_space)
+                          half_space=caps.half_space,
+                          edge_cap=caps.edge_factor * coords.shape[0])
 
 
 def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:

@@ -130,7 +130,6 @@ class HAISNet(nn.Module):
         bids = batch["vert_batch_ids"]
 
         units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
-        out["units_dropped"] = units_dropped
         clus = gm.cluster_step(shifted, bids, obj, sem_preds,
                                self.point_aggr_radius, c, units)
         rows = hierarchical_aggregation(
@@ -139,6 +138,9 @@ class HAISNet(nn.Module):
             jnp.array(self.radius_avg, jnp.float32),
             c.proposals, use_set_aggr)
         out["proposal_rows"] = rows
+        out["diag"] = {"units_dropped": units_dropped,
+                       "voxels_dropped": gm.plan_dropped(plan),
+                       "edges_dropped": clus.edges_dropped}
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(

@@ -32,6 +32,9 @@ def merge_clusterings(clusterings: Sequence[Clusters], thresholds: Sequence[jax.
     proposals_idx/offset merge at pointgroup.py:70-73), dropping clusters
     below their size threshold. Rows = one (point, proposal) pair per point
     per clustering, so R = len(clusterings) * N statically.
+
+    Returns (rows, proposals_dropped) — clusters beyond ``p_cap`` are dropped
+    deterministically and the count must be surfaced by callers.
     """
     rows_pt, rows_pid, rows_valid = [], [], []
     base = jnp.int32(0)
@@ -49,12 +52,13 @@ def merge_clusterings(clusterings: Sequence[Clusters], thresholds: Sequence[jax.
         rows_valid.append(valid)
         base = base + jnp.sum(ok.astype(jnp.int32))
     n_props = jnp.minimum(base, p_cap)
-    return ProposalRows(
+    rows = ProposalRows(
         point_idx=jnp.concatenate(rows_pt),
         prop_id=jnp.concatenate(rows_pid),
         valid=jnp.concatenate(rows_valid),
         n_proposals=n_props,
     )
+    return rows, base - n_props
 
 
 def foreground_mask(semantic_preds: jax.Array, point_mask: jax.Array,
@@ -97,7 +101,6 @@ class PointGroupNet(nn.Module):
         shifted = xyz + jax.lax.stop_gradient(out["point_offsets"])
         bids = batch["vert_batch_ids"]
         units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
-        out["units_dropped"] = units_dropped
 
         # sequential dual clustering: a combined 2N-unit pass was tried and
         # REVERTED — each merged CC sweep costs 2N, so total work becomes
@@ -107,9 +110,13 @@ class PointGroupNet(nn.Module):
         clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c, units)
         clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
                                      self.cluster_radius, c, units)
-        rows = merge_clusterings(
+        rows, props_dropped = merge_clusterings(
             [clus, clus_shift], [self.cluster_npoint_thre] * 2, xyz.shape[0], c.proposals)
         out["proposal_rows"] = rows
+        out["diag"] = {"units_dropped": units_dropped,
+                       "proposals_dropped": props_dropped,
+                       "voxels_dropped": gm.plan_dropped(plan),
+                       "edges_dropped": clus.edges_dropped + clus_shift.edges_dropped}
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(

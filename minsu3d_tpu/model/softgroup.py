@@ -27,9 +27,9 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
                   point_mask: jax.Array, fg_class_ids: tuple, score_thr: float,
                   radius: float, npoint_thr: float, point_num_avg: jax.Array,
                   min_npoint: int, max_proposal_num: int, caps: StaticCaps,
-                  p2v: jax.Array | None = None) -> ProposalRows:
+                  p2v: jax.Array | None = None):
     """Per-class thresholded clustering merged across classes
-    (reference softgroup.py:38-83 + sg_bfs_cluster O3)."""
+    (reference softgroup.py:38-83 + sg_bfs_cluster O3). Returns (rows, diag)."""
     n = shifted.shape[0]
     cls_ids = jnp.array(fg_class_ids, jnp.int32)
 
@@ -39,15 +39,18 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
         enough = jnp.sum(active.astype(jnp.int32)) >= min_npoint  # skip-class rule
         active = active & enough
         units = None
+        dropped = jnp.int32(0)
         if p2v is not None and caps.unit_clustering:
-            units, _ = gm.make_units(p2v, jnp.zeros_like(p2v), active, caps.cluster_units)
+            units, dropped = gm.make_units(p2v, jnp.zeros_like(p2v), active,
+                                           caps.cluster_units)
         clus = gm.cluster_step(shifted, batch_ids, active, None, radius, caps, units)
         # class-size-relative threshold (bfs_cluster.cpp:56-187)
         thr = npoint_thr * point_num_avg[class_id]
         ok = clus.valid & (clus.sizes.astype(jnp.float32) >= thr)
-        return carry, (clus.point_cluster, ok)
+        return carry + dropped, (clus.point_cluster, ok)
 
-    _, (pc_all, ok_all) = jax.lax.scan(per_class, None, cls_ids)  # (K, N), (K, C)
+    units_dropped, (pc_all, ok_all) = jax.lax.scan(
+        per_class, jnp.int32(0), cls_ids)                         # (K, N), (K, C)
 
     p_cap = caps.proposals
     limit = min(max_proposal_num, p_cap)
@@ -62,12 +65,13 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
 
     k = len(fg_class_ids)
     point_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (k, n))
-    return ProposalRows(
+    rows = ProposalRows(
         point_idx=point_idx.reshape(-1),
         prop_id=jnp.minimum(pid, p_cap).reshape(-1),
         valid=valid.reshape(-1),
         n_proposals=jnp.minimum(jnp.sum(counts), limit),
     )
+    return rows, {"pairs_dropped": jnp.int32(0), "units_dropped": units_dropped}
 
 
 def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Array,
@@ -86,9 +90,14 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
     radius graphs are disjoint by construction. ~10x less clustering work at
     ScanNet's 18 foreground classes.
 
-    Pairs are laid out class-major, and units sort by (class, voxel), so
-    proposal ids come out class-major like the reference's per-class concat —
+    Proposal ids are re-ranked class-major after clustering (stable sort over
+    per-cluster class), matching the reference's per-class concat order so
     max_proposal_num truncation keeps the same proposals.
+
+    Returns (rows, diag) where diag carries overflow counters: active pairs
+    beyond ``pair_cap`` and (voxel, class) units beyond ``caps.cluster_units``
+    are dropped deterministically — those points never cluster, so callers
+    must surface the counts (trainer logs them per epoch).
     """
     n = shifted.shape[0]
     cls_ids = jnp.array(fg_class_ids, jnp.int32)
@@ -99,6 +108,8 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
     active = active & (counts >= min_npoint)[None, :]      # skip-class rule
 
     act_kn = active.T.reshape(-1)                          # (K*N,) class-major
+    n_active = jnp.sum(act_kn.astype(jnp.int32))
+    pairs_dropped = jnp.maximum(n_active - pair_cap, 0)
     order = jnp.argsort(~act_kn, stable=True)[:pair_cap].astype(jnp.int32)
     pair_valid = act_kn[order]
     pair_class = jnp.where(pair_valid, order // n, 0).astype(jnp.int32)
@@ -107,9 +118,13 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
     pcoords = shifted[pair_point]
     pbatch = batch_ids[pair_point]
     units = None
+    units_dropped = jnp.int32(0)
     if caps.unit_clustering:
-        units, _ = gm.make_units(pair_class, p2v[pair_point], pair_valid,
-                                 caps.cluster_units)
+        # voxel id in the UNCLIPPED key_hi slot (make_units packs key_lo into a
+        # 10-bit coord field; voxel ids run to the voxel cap >= 49k, so passing
+        # them as key_lo collapsed all voxels >= 1023 into one unit per class)
+        units, units_dropped = gm.make_units(p2v[pair_point], pair_class,
+                                             pair_valid, caps.cluster_units)
     clus = gm.cluster_step(pcoords, pbatch, pair_valid, pair_class,
                            radius, caps, units)
 
@@ -121,18 +136,25 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
     thr = npoint_thr * point_num_avg[cls_ids[jnp.clip(ccls, 0, k - 1)]]
     ok = clus.valid & (clus.sizes.astype(jnp.float32) >= thr)
 
+    # class-major proposal order (reference concatenates per-class proposals,
+    # softgroup.py:70-78): rank surviving clusters by (class, cluster id)
+    rank_src = jnp.argsort(jnp.where(ok, ccls, k), stable=True)
+    rank = jnp.zeros((c_cap,), jnp.int32).at[rank_src].set(
+        jnp.arange(c_cap, dtype=jnp.int32))
+
     p_cap = caps.proposals
     limit = min(max_proposal_num, p_cap)
-    prop = jnp.where(ok, jnp.cumsum(ok.astype(jnp.int32)) - 1, limit)
-    prop = jnp.where(prop < limit, prop, p_cap)
+    prop = jnp.where(ok & (rank < limit), rank, p_cap)
     prop_ext = jnp.concatenate([prop, jnp.full((1,), p_cap, jnp.int32)])
     pid = jnp.where(pair_valid, prop_ext[pc], p_cap)
-    return ProposalRows(
+    rows = ProposalRows(
         point_idx=pair_point,
         prop_id=jnp.minimum(pid, p_cap),
         valid=pid < p_cap,
         n_proposals=jnp.minimum(jnp.sum(ok.astype(jnp.int32)), limit),
     )
+    return rows, {"pairs_dropped": pairs_dropped, "units_dropped": units_dropped,
+                  "edges_dropped": clus.edges_dropped}
 
 
 def compact_rows(rows: ProposalRows, r_cap: int) -> ProposalRows:
@@ -186,14 +208,14 @@ class SoftGroupNet(nn.Module):
         sem_softmax = jax.nn.softmax(out["semantic_scores"], axis=-1)
         shifted = batch["point_xyz"] + jax.lax.stop_gradient(out["point_offsets"])
         if self.packed_grouping:
-            rows = soft_grouping_packed(
+            rows, diag = soft_grouping_packed(
                 jax.lax.stop_gradient(sem_softmax), shifted, batch["vert_batch_ids"],
                 batch["point_mask"], self.fg_class_ids, self.score_thr, self.radius,
                 self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
                 self.min_npoint, self.max_proposal_num, c, batch["p2v"],
                 pair_cap=2 * batch["point_xyz"].shape[0])
         else:
-            rows = soft_grouping(
+            rows, diag = soft_grouping(
                 jax.lax.stop_gradient(sem_softmax), shifted, batch["vert_batch_ids"],
                 batch["point_mask"], self.fg_class_ids, self.score_thr, self.radius,
                 self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
@@ -201,6 +223,7 @@ class SoftGroupNet(nn.Module):
             r_cap = min(rows.point_idx.shape[0], 2 * batch["point_xyz"].shape[0])
             rows = compact_rows(rows, r_cap)
         out["proposal_rows"] = rows
+        out["diag"] = {**diag, "voxels_dropped": gm.plan_dropped(plan)}
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(

@@ -162,3 +162,111 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
 
     nbr_idx, nbr_valid, fill = jax.lax.fori_loop(0, window, body, (nbr_idx, nbr_valid, fill))
     return jnp.where(nbr_valid, nbr_idx, n), nbr_valid
+
+
+def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
+                    radius: float, k: int, window: int, edge_cap: int,
+                    half_space: bool = False, group: jax.Array | None = None):
+    """Edge-buffer ball query: enumerate only the REAL candidates.
+
+    The fused schedule (``ball_query``) materializes a dense (n_off, W, N)
+    slot grid — ~6.4M slots at production caps of which only ~1.2M hold a
+    candidate (measured; BENCH_NOTES "next levers" #1). This variant packs the
+    candidates into a static edge buffer of ``edge_cap`` entries:
+
+      1. run bounds per (offset, point) exactly as the fused path (two
+         sorted-union lookups), run length capped at ``window``;
+      2. each run gets a contiguous extent of edge slots by exclusive cumsum;
+         a scatter of run ids at extent starts + cummax recovers slot->run;
+      3. per-edge distance test on gathered candidate / query coordinates;
+      4. one (point, rank, offset) sort re-interleaves the edges into
+         window-position-major order — the SAME candidate order as the fused
+         schedule — so the per-point cumsum K-cap keeps identical neighbors
+         (fused vs edge paths are bit-identical; tests/test_cluster.py).
+
+    Edges beyond ``edge_cap`` are dropped deterministically (the tail of the
+    offset-major enumeration) and surfaced in the returned count.
+
+    Returns (nbr_idx (N, k), nbr_valid (N, k), edges_dropped ()).
+    """
+    n = coords.shape[0]
+    cell = jnp.floor(coords / radius).astype(jnp.int32) + _CELL_OFFSET
+    cell = jnp.clip(cell, 0, hs.COORD_MAX - 1)
+    key_hi = batch.astype(jnp.int32)
+    if group is not None:
+        key_hi = (key_hi << _GROUP_SHIFT) | jnp.clip(group.astype(jnp.int32),
+                                                     0, (1 << _GROUP_SHIFT) - 1)
+    khi, klo = hs.pack(key_hi, cell)
+    khi, klo = hs.mask_invalid(khi, klo, valid)
+    perm = hs.lexsort_pairs(khi, klo).astype(jnp.int32)
+    s_hi, s_lo = khi[perm], klo[perm]
+
+    offsets = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+    if half_space:
+        offsets = [o for o in offsets if o >= (0, 0, 0)]
+    offs = jnp.array(offsets, jnp.int32)
+    n_off = len(offsets)
+
+    q_cell = cell[None, :, :] + offs[:, None, :]               # (n_off, N, 3)
+    in_rng = jnp.all((q_cell >= 0) & (q_cell < hs.COORD_MAX), axis=-1) & valid[None, :]
+    q_hi, q_lo = hs.pack(jnp.broadcast_to(key_hi[None, :], (n_off, n)),
+                         jnp.clip(q_cell, 0, hs.COORD_MAX - 1))
+    q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_rng)
+    _, _, starts = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1) - 1)
+    _, _, ends = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1))
+
+    # run extents in edge space, offset-major (run r = o * N + p keeps the
+    # (n_off, N) layout — N minor — with no transposed temps)
+    run_len = jnp.where(in_rng.reshape(-1),
+                        jnp.clip(ends - starts, 0, window), 0).astype(jnp.int32)
+    base = jnp.cumsum(run_len) - run_len                       # exclusive
+    total = base[-1] + run_len[-1]
+    edges_dropped = jnp.maximum(total - edge_cap, 0)
+
+    # slot -> run: scatter each run id at its extent start, forward-fill by
+    # cummax (ties at equal starts resolve to the last = only nonempty run)
+    run_ids = jnp.arange(run_len.shape[0], dtype=jnp.int32)
+    mark = jnp.zeros((edge_cap,), jnp.int32).at[base].max(run_ids, mode="drop")
+    run = jax.lax.cummax(mark)                                 # (E,)
+    e = jnp.arange(edge_cap, dtype=jnp.int32)
+    e_valid = e < jnp.minimum(total, edge_cap)
+    w_e = e - base[run]
+    pos = jnp.minimum(starts[run] + w_e, n)
+    p_e = run % n                                              # query point
+
+    coords_s = coords[perm]
+    zero1 = jnp.zeros((1,), coords.dtype)
+    xs = jnp.concatenate([coords_s[:, 0], zero1])
+    ys = jnp.concatenate([coords_s[:, 1], zero1])
+    zs = jnp.concatenate([coords_s[:, 2], zero1])
+    perm_ext = jnp.concatenate([perm, jnp.full((1,), n, jnp.int32)])
+
+    qx, qy, qz = coords[:, 0], coords[:, 1], coords[:, 2]
+    dx = xs[pos] - qx[p_e]
+    dy = ys[pos] - qy[p_e]
+    dz = zs[pos] - qz[p_e]
+    r2 = jnp.float32(radius * radius)
+    ok = e_valid & (dx * dx + dy * dy + dz * dz <= r2)
+    cand = jnp.where(ok, perm_ext[pos], n)
+
+    # window-position-major order (w, o) per point == the fused schedule's
+    # candidate order; see ball_query's layout comment for why that order
+    # matters (cross-cell edges must rank before any dense run saturates K)
+    p_key = jnp.where(e_valid, p_e, n)
+    wo_key = w_e * jnp.int32(n_off) + (run // n)
+    p_s, _, cand_s, ok_s = jax.lax.sort(
+        (p_key, wo_key, cand, ok.astype(jnp.int32)), num_keys=2)
+    ok_s = ok_s.astype(bool)
+
+    # per-point rank among ok edges: exclusive global cumsum rebased at each
+    # point's first edge (exc is non-decreasing, so cummax forward-fills)
+    ok_i = ok_s.astype(jnp.int32)
+    exc = jnp.cumsum(ok_i) - ok_i
+    first = jnp.concatenate([jnp.ones((1,), bool), p_s[1:] != p_s[:-1]])
+    seg_base = jax.lax.cummax(jnp.where(first, exc, -1))
+    col = exc - seg_base
+    store = ok_s & (col < k)
+    col_c = jnp.where(store, col, k)
+    nbr_idx = jnp.zeros((n, k), jnp.int32).at[p_s, col_c].set(cand_s, mode="drop")
+    nbr_valid = jnp.zeros((n, k), bool).at[p_s, col_c].set(store, mode="drop")
+    return jnp.where(nbr_valid, nbr_idx, n), nbr_valid, edges_dropped

@@ -85,6 +85,7 @@ class Clusters(NamedTuple):
     sizes: jax.Array          # (C,) int32
     valid: jax.Array          # (C,) bool
     count: jax.Array          # () int32
+    edges_dropped: jax.Array | int = 0  # ball-query edge-buffer overflow
 
 
 def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
@@ -107,20 +108,28 @@ def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
 
 def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
                    group: jax.Array | None, radius: float, k: int, window: int,
-                   c_cap: int, max_iters: int = 64, half_space: bool = False) -> Clusters:
+                   c_cap: int, max_iters: int = 64, half_space: bool = False,
+                   edge_cap: int = 0) -> Clusters:
     """ball_query + connected_components + compaction in one call."""
-    from minsu3d_tpu.ops.ballquery import ball_query
+    from minsu3d_tpu.ops.ballquery import ball_query, ball_query_edge
 
-    nbr_idx, nbr_valid = ball_query(coords, batch, active, radius, k, window,
-                                    half_space=half_space, group=group)
+    if edge_cap:
+        nbr_idx, nbr_valid, dropped = ball_query_edge(
+            coords, batch, active, radius, k, window, edge_cap,
+            half_space=half_space, group=group)
+    else:
+        nbr_idx, nbr_valid = ball_query(coords, batch, active, radius, k, window,
+                                        half_space=half_space, group=group)
+        dropped = jnp.int32(0)
     label = connected_components(nbr_idx, nbr_valid, active, group, max_iters)
-    return compact_labels(label, active, c_cap)
+    return compact_labels(label, active, c_cap)._replace(edges_dropped=dropped)
 
 
 def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                   group: jax.Array | None, unit_id: jax.Array, u_cap: int,
                   radius: float, k: int, window: int, c_cap: int,
-                  max_iters: int = 64, half_space: bool = False) -> Clusters:
+                  max_iters: int = 64, half_space: bool = False,
+                  edge_cap: int = 0) -> Clusters:
     """Connected components at unit granularity (TPU-first redesign).
 
     The reference BFS-clusters raw points; at 2cm voxels and a 3cm ball
@@ -145,13 +154,20 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
         u_group = jnp.full((u_cap + 1,), -1, group.dtype).at[uid].max(
             jnp.where(uid < u_cap, group, -1))[:u_cap]
 
-    from minsu3d_tpu.ops.ballquery import ball_query
+    from minsu3d_tpu.ops.ballquery import ball_query, ball_query_edge
 
     # half_space halves the scan; safe at production caps now that group keys
-    # keep runs short (50k-point scale test: 0 splits/merges at K16/W8), but
-    # gated behind caps.half_space until a golden-AP run confirms
-    nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, radius, k, window,
-                                    half_space=half_space, group=u_group)
+    # keep runs short (50k-point scale test: 0 splits/merges at K16/W8).
+    # Confirmed bit-identical on the golden-AP eval (scripts/
+    # eval_synth_pointgroup.sh) — config defaults bq_half_space: true
+    if edge_cap:
+        nbr_idx, nbr_valid, dropped = ball_query_edge(
+            u_coords, u_batch, u_active, radius, k, window, edge_cap,
+            half_space=half_space, group=u_group)
+    else:
+        nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, radius, k, window,
+                                        half_space=half_space, group=u_group)
+        dropped = jnp.int32(0)
     u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters)
 
     u_label_ext = jnp.concatenate([u_label, jnp.full((1,), coords.shape[0], jnp.int32)])
@@ -159,4 +175,4 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                             coords.shape[0])
     # unit labels are unit indices; offset into a point-label namespace is not
     # needed — compact_labels only requires distinct ids per cluster
-    return compact_labels(point_label, uid < u_cap, c_cap)
+    return compact_labels(point_label, uid < u_cap, c_cap)._replace(edges_dropped=dropped)

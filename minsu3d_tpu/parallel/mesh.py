@@ -36,8 +36,10 @@ def make_train_step(mesh: Mesh, apply_fn, loss_fn, tx):
 
     ``apply_fn(params, batch_stats, batch, rng) -> (out, new_batch_stats)``
     runs the single-shard model; ``loss_fn(out, batch) -> dict`` of scalar
-    losses. The step returns (params, batch_stats, opt_state, metrics) with
-    grads/metrics/batch-stats pmean-ed over the data axis.
+    losses. The step returns (params, batch_stats, opt_state, metrics, diag)
+    with grads/metrics/batch-stats pmean-ed over the data axis; ``diag``
+    (capacity-overflow counters from ``out["diag"]``) is psum-ed — a drop on
+    any shard must be visible.
     """
 
     def shard_step(params, batch_stats, opt_state, batch, rng):
@@ -49,22 +51,22 @@ def make_train_step(mesh: Mesh, apply_fn, loss_fn, tx):
             out, new_bs = apply_fn(p, batch_stats, batch, rng)
             losses = loss_fn(out, batch)
             total = sum(losses.values())
-            return total, (losses, new_bs)
+            return total, (losses, new_bs, out.get("diag", {}))
 
-        (total, (losses, new_bs)), grads = jax.value_and_grad(compute, has_aux=True)(params)
+        (total, (losses, new_bs, diag)), grads = jax.value_and_grad(
+            compute, has_aux=True)(params)
         grads = jax.lax.pmean(grads, "data")
         new_bs = jax.lax.pmean(new_bs, "data")
         losses = jax.lax.pmean({**losses, "total_loss": total}, "data")
+        diag = jax.lax.psum(diag, "data")
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = jax.tree.map(lambda a, b: a + b, params, updates)
-        return new_params, new_bs, new_opt, losses
+        return new_params, new_bs, new_opt, losses, diag
 
-    from jax.experimental.shard_map import shard_map
-
-    mapped = shard_map(
+    mapped = jax.shard_map(
         shard_step, mesh=mesh,
         in_specs=(P(), P(), P(), P("data"), P()),
-        out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1, 2))

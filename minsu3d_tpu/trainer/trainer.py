@@ -185,6 +185,7 @@ class Trainer:
                            cfg.model.lr_decay.decay_start_epoch, max_epochs)
             t0 = time.time()
             agg: dict[str, float] = {}
+            diag_agg: dict[str, float] = {}
             nsteps = 0
             for batch in self.dm.train_batches(self.num_shards, seed + self.epoch):
                 if first:
@@ -198,12 +199,20 @@ class Trainer:
                 self._set_lr(lr)
                 step = self._train_step(self.heads_active)
                 rng = jax.random.fold_in(jax.random.PRNGKey(seed), self.epoch * 100003 + nsteps)
-                self.params, self.batch_stats, self.opt_state, losses = step(
+                self.params, self.batch_stats, self.opt_state, losses, diag = step(
                     self.params, self.batch_stats, self.opt_state, batch, rng)
                 for k, v in losses.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
+                for k, v in diag.items():
+                    # worst step of the epoch: any nonzero means caps too small
+                    diag_agg[k] = max(diag_agg.get(k, 0.0), float(v))
                 nsteps += 1
             record = {f"train/{k}": v / max(nsteps, 1) for k, v in agg.items()}
+            record.update({f"diag/{k}": v for k, v in diag_agg.items()})
+            overflows = {k: v for k, v in diag_agg.items() if v > 0}
+            if overflows:
+                print(f"[epoch {self.epoch}] WARNING capacity overflow "
+                      f"(raise data.caps.*): {overflows}", flush=True)
             dt = time.time() - t0
             record.update(epoch=self.epoch, lr=lr, epoch_time=dt,
                           scenes_per_sec=nsteps * cfg.data.batch_size
@@ -251,8 +260,11 @@ class Trainer:
         ignore = list(cfg.data.ignore_classes)
         all_preds, all_gts, all_gt_bboxes = [], [], []
         sem_accs, sem_mious = [], []
+        eval_diag: dict[str, float] = {}
         for scan_id, batch, item in self.dm.eval_batches(split):
             out = fwd(self.params, self.batch_stats, batch)
+            for k, v in out.get("diag", {}).items():
+                eval_diag[k] = max(eval_diag.get(k, 0.0), float(v))
             if loss_fn is not None:
                 for k, v in loss_fn(batch, out).items():
                     loss_agg[k] = loss_agg.get(k, 0.0) + float(v)
@@ -271,10 +283,16 @@ class Trainer:
                 all_gts.append(get_gt_instances(sem_gt, inst_gt, ignore))
                 all_gt_bboxes.append(get_gt_bbox(xyz, inst_gt, sem_gt, -1, ignore))
 
+        overflows = {k: v for k, v in eval_diag.items() if v > 0}
+        if overflows:
+            print(f"[eval {split}] WARNING capacity overflow — predictions are "
+                  f"missing dropped points/units (raise data.caps.*): {overflows}",
+                  flush=True)
         metrics: dict[str, Any] = {
             "semantic_accuracy": float(np.mean(sem_accs)) if sem_accs else 0.0,
             "semantic_mean_iou": float(np.mean(sem_mious)) if sem_mious else 0.0,
         }
+        metrics.update({f"diag/{k}": v for k, v in eval_diag.items()})
         if loss_agg:
             metrics.update({k: v / max(n_batches, 1) for k, v in loss_agg.items()})
             metrics["total_loss"] = sum(v / max(n_batches, 1) for v in loss_agg.values())
@@ -347,15 +365,22 @@ class Trainer:
             self.opt_state = self.tx.init(self.params)
 
 
+# outputs pred_instances never reads — skipping them keeps the per-scene
+# device->host copy to scores/rows instead of hauling the 64 MB padded
+# point_features table through the (remote) device link every scene
+_EVAL_SKIP_KEYS = ("point_features", "point_offsets", "diag")
+
+
 def _to_numpy_out(out: dict, n_points: int) -> dict:
     """Device outputs -> host numpy, truncating point-axis arrays."""
     res = {}
     for k, v in out.items():
+        if k in _EVAL_SKIP_KEYS:
+            continue
         if k == "proposal_rows":
             res[k] = {f: np.asarray(getattr(v, f)) for f in v._fields}
         else:
-            arr = np.asarray(v)
-            res[k] = arr
+            res[k] = np.asarray(v)
     if "semantic_scores" in res:
         res["semantic_scores"] = res["semantic_scores"][:n_points]
     return res

@@ -161,6 +161,36 @@ class TestBallQuerySchedules:
             np.testing.assert_array_equal(np.asarray(a_ok), np.asarray(b_ok))
             np.testing.assert_array_equal(np.asarray(a_idx), np.asarray(b_idx))
 
+    def test_edge_buffer_matches_fused(self):
+        """The edge-buffer schedule enumerates only real candidates but must
+        keep the fused path's (w, o) candidate order, so with an ample edge
+        cap the neighbor tables are bit-identical — including under
+        half_space, where K-cap order decides which cross-cell edges survive."""
+        from minsu3d_tpu.ops.ballquery import ball_query_edge
+
+        pts, batch, valid, group = self._pts(9)
+        for half in (False, True):
+            for g in (None, jnp.array(group)):
+                a_idx, a_ok = ball_query(jnp.array(pts), jnp.array(batch),
+                                         jnp.array(valid), 0.08, 12, 8,
+                                         half_space=half, group=g, fused=True)
+                b_idx, b_ok, dropped = ball_query_edge(
+                    jnp.array(pts), jnp.array(batch), jnp.array(valid),
+                    0.08, 12, 8, edge_cap=64 * len(pts), half_space=half, group=g)
+                assert int(dropped) == 0
+                np.testing.assert_array_equal(np.asarray(a_ok), np.asarray(b_ok))
+                np.testing.assert_array_equal(np.asarray(a_idx), np.asarray(b_idx))
+
+    def test_edge_buffer_overflow_surfaces(self):
+        """Edges beyond edge_cap are dropped deterministically and counted."""
+        from minsu3d_tpu.ops.ballquery import ball_query_edge
+
+        pts, batch, valid, group = self._pts(10)
+        _, _, dropped = ball_query_edge(
+            jnp.array(pts), jnp.array(batch), jnp.array(valid),
+            0.5, 12, 32, edge_cap=256)  # big radius: way more edges than 256
+        assert int(dropped) > 0
+
     def test_group_key_restricts_neighbors(self):
         pts, batch, valid, group = self._pts(8)
         idx, ok = ball_query(jnp.array(pts), jnp.array(batch), jnp.array(valid),

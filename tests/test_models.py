@@ -92,7 +92,7 @@ def test_softgroup_grouping_merges_classes():
     softmax = np.zeros((n, 20), np.float32)
     softmax[:200, 2] = 0.9
     softmax[200:, 3] = 0.9
-    rows = soft_grouping(
+    rows, _ = soft_grouping(
         jnp.array(softmax), jnp.array(pts), jnp.zeros(n, jnp.int32),
         jnp.ones(n, bool), tuple(range(2, 20)), 0.2, 0.04,
         0.05, jnp.full(20, 100.0), 100, 200, caps)
@@ -148,8 +148,61 @@ def test_softgroup_packed_matches_scan():
         args = (jnp.array(softmax), jnp.array(pts), jnp.array(batch),
                 jnp.array(mask), tuple(range(2, 20)), 0.2, 0.04,
                 0.05, point_num_avg, 20, 200, caps)
-        scan_rows = soft_grouping(*args, p2v=jnp.array(p2v))
-        packed_rows = soft_grouping_packed(*args, jnp.array(p2v), pair_cap=2 * n)
+        scan_rows, _ = soft_grouping(*args, p2v=jnp.array(p2v))
+        packed_rows, _ = soft_grouping_packed(*args, jnp.array(p2v), pair_cap=2 * n)
         assert int(scan_rows.n_proposals) == int(packed_rows.n_proposals), granularity
         assert partition(scan_rows) == partition(packed_rows), granularity
 
+
+def test_softgroup_packed_large_voxel_ids():
+    """Regression: unit keys must carry the voxel id in the UNCLIPPED slot.
+    With p2v values >= 1024 (any realistic voxel cap), passing the voxel as
+    make_units key_lo collapsed all high voxels into one unit per class,
+    merging distant same-class blobs into a single proposal."""
+    from minsu3d_tpu.model.softgroup import soft_grouping_packed
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    cfg = tiny_cfg("softgroup")
+    caps = StaticCaps.from_cfg(cfg, "train")._replace(unit_clustering=True)
+    rng = np.random.default_rng(5)
+    n = 400
+    # two same-class blobs 5 m apart -> must be TWO proposals
+    pts = np.concatenate([rng.normal(0, 0.01, (200, 3)),
+                          rng.normal(5, 0.01, (200, 3))]).astype(np.float32)
+    softmax = np.zeros((n, 20), np.float32)
+    softmax[:, 4] = 0.9
+    # voxel ids far above the 10-bit coord field
+    p2v = (2000 + np.arange(n)).astype(np.int32)
+    rows, diag = soft_grouping_packed(
+        jnp.array(softmax), jnp.array(pts), jnp.zeros(n, jnp.int32),
+        jnp.ones(n, bool), tuple(range(2, 20)), 0.2, 0.04,
+        0.05, jnp.full(20, 100.0), 20, 200, caps, jnp.array(p2v), pair_cap=2 * n)
+    assert int(diag["units_dropped"]) == 0
+    assert int(rows.n_proposals) == 2
+    pid = np.asarray(rows.prop_id)
+    valid = np.asarray(rows.valid)
+    pt = np.asarray(rows.point_idx)
+    a = set(pid[valid & (pt < 200)])
+    b = set(pid[valid & (pt >= 200)])
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_softgroup_packed_surfaces_dropped_pairs():
+    """Active pairs beyond pair_cap must be counted, not silently dropped."""
+    from minsu3d_tpu.model.softgroup import soft_grouping_packed
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    cfg = tiny_cfg("softgroup")
+    caps = StaticCaps.from_cfg(cfg, "train")
+    n = 256
+    pts = np.random.default_rng(0).normal(0, 0.5, (n, 3)).astype(np.float32)
+    softmax = np.zeros((n, 20), np.float32)
+    softmax[:, 2] = 0.4
+    softmax[:, 3] = 0.3
+    softmax[:, 4] = 0.25  # 3 active classes/point at score_thr=0.2 -> 3N pairs
+    rows, diag = soft_grouping_packed(
+        jnp.array(softmax), jnp.array(pts), jnp.zeros(n, jnp.int32),
+        jnp.ones(n, bool), tuple(range(2, 20)), 0.2, 0.04,
+        0.05, jnp.full(20, 100.0), 20, 200, caps,
+        jnp.arange(n, dtype=jnp.int32), pair_cap=2 * n)
+    assert int(diag["pairs_dropped"]) == n  # 3N active - 2N cap

@@ -45,8 +45,8 @@ class TestOraclePointGroup:
                               c.neighbors, c.cell_window, c.clusters)
         clus_shift = cluster_points(shifted, bids, obj, sem_preds, radius,
                                     c.neighbors, c.cell_window, c.clusters)
-        rows = merge_clusterings([clus, clus_shift], [thr, thr],
-                                 xyz.shape[0], c.proposals)
+        rows, _ = merge_clusterings([clus, clus_shift], [thr, thr],
+                                    xyz.shape[0], c.proposals)
         n_props = int(rows.n_proposals)
         n_inst = int(batch["num_instance"])
         assert n_props >= n_inst, f"proposals {n_props} < instances {n_inst}"
@@ -74,8 +74,8 @@ class TestOraclePointGroup:
                               c.neighbors, c.cell_window, c.clusters)
         clus_shift = cluster_points(shifted, bids, obj, sem_preds, radius,
                                     c.neighbors, c.cell_window, c.clusters)
-        rows = merge_clusterings([clus, clus_shift], [thr, thr],
-                                 xyz.shape[0], c.proposals)
+        rows, _ = merge_clusterings([clus, clus_shift], [thr, thr],
+                                    xyz.shape[0], c.proposals)
 
         n = int(batch["num_points"])
         out_np = {
@@ -176,7 +176,7 @@ class TestOracleSoftGroup:
             g.score_thr, g.radius, g.npoint_thr,
             jnp.full(20, 600.0, jnp.float32), 50,
             cfg.model.network.train_cfg.max_proposal_num, caps,
-            p2v=jnp.array(batch["p2v"]))
+            p2v=jnp.array(batch["p2v"]))[0]
         rows = S.compact_rows(rows, 2 * xyz.shape[0])
         n_inst = int(batch["num_instance"])
         assert int(rows.n_proposals) >= n_inst

@@ -1,0 +1,78 @@
+"""Measure neighbor-gather + conv layouts on the real TPU to decide the
+channel-major backbone refactor (BENCH_NOTES lever 3 / VERDICT round-2 #2).
+
+Variants at backbone scale (V voxels, C channels, 27-tap kernel map):
+  * row-gather   x_vc[nbr]          from (V, C)  — current subm_conv layout
+  * col-gather   x_cv[:, nbr]       from (C, V)  — channel-major candidate
+  * subm row     full tap-group conv, row-major (current)
+  * subm cm      full tap-group conv, channel-major prototype
+"""
+import sys, time
+sys.path.insert(0, ".")
+from minsu3d_tpu.util.env import setup_jax_cache
+setup_jax_cache()
+import jax, jax.numpy as jnp, numpy as np
+
+V = 114688
+C = 16
+COUT = 16
+TAPS = 27
+rng = np.random.default_rng(0)
+# kernel-map-like indices: mostly near-diagonal (neighbors are close in the
+# sorted voxel table), ~20% missing (= V -> zero row)
+base = np.arange(V)[:, None] + rng.integers(-64, 64, (V, TAPS))
+nbr_np = np.clip(base, 0, V - 1)
+nbr_np[rng.random((V, TAPS)) < 0.2] = V
+nbr = jnp.array(nbr_np, jnp.int32)
+
+def timeit(name, fn, *args, reps=10):
+    f = jax.jit(fn)
+    r = jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = jax.block_until_ready(f(*args))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"# {name:36s} {dt*1000:9.2f} ms", flush=True)
+    return r
+
+for dtype in (jnp.bfloat16, jnp.float32):
+    dn = "bf16" if dtype == jnp.bfloat16 else "f32 "
+    x_vc = jnp.array(rng.normal(0, 1, (V + 1, C)), dtype)
+    x_cv = x_vc.T  # (C, V+1)
+    w = jnp.array(rng.normal(0, 0.1, (TAPS, C, COUT)), dtype)
+
+    timeit(f"{dn} row-gather (V,C)[nbr] all27",
+           lambda x, i: x[i].sum(axis=(1,)), x_vc, nbr)
+    timeit(f"{dn} col-gather (C,V)[:,nbr] all27",
+           lambda x, i: x[:, i].sum(axis=(2,)), x_cv, nbr)
+    timeit(f"{dn} 1d-gather x27 (per-channel c0)",
+           lambda x, i: x[0][i].sum(axis=1), x_cv, nbr)
+
+    def subm_row(x, i, w):
+        v = i.shape[0]
+        g = x[i]                                 # (V, 27, C)
+        return jax.lax.dot_general(
+            g.reshape(v, TAPS * C), w.reshape(TAPS * C, COUT),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def subm_cm(x, i, w):
+        g = x[:, i]                              # (C, V, 27)
+        return jax.lax.dot_general(
+            w, g, dimension_numbers=(((0, 1), (2, 0)), ((), ())),
+            preferred_element_type=jnp.float32)  # (COUT, V)
+
+    timeit(f"{dn} subm_conv row-major (current)", subm_row, x_vc, nbr, w)
+    timeit(f"{dn} subm_conv channel-major", subm_cm, x_cv, nbr, w)
+
+    # tap-at-a-time channel-major (27 small GEMMs, no (C,V,27) temp)
+    def subm_cm_loop(x, i, w):
+        out = jnp.zeros((COUT, V), jnp.float32)
+        for k in range(TAPS):
+            g = x[:, i[:, k]]                    # (C, V)
+            out = out + jax.lax.dot_general(
+                w[k], g, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return out
+
+    timeit(f"{dn} subm_conv cm tap-loop", subm_cm_loop, x_cv, nbr, w)
