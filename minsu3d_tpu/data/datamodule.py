@@ -39,12 +39,30 @@ class DataModule:
         per_step = self.cfg.data.batch_size * num_shards
         return max(n // per_step, 1)
 
-    def train_batches(self, num_shards: int, seed: int, prefetch: int = 2) -> Iterator[dict]:
-        """One epoch of stacked (D, ...) shard batches, background-prefetched."""
+    @property
+    def num_workers(self) -> int:
+        return int(self.cfg.data.get("num_workers", 1))
+
+    def train_batches(self, num_shards: int, seed: int, prefetch: int = 2,
+                      process_index: int = 0, process_count: int = 1) -> Iterator[dict]:
+        """One epoch of stacked shard batches, background-prefetched by a
+        ``data.num_workers``-thread pool (reference DataLoader num_workers,
+        data_module.py:26 — augment/voxelize/plan-build are numpy/C and
+        release the GIL, so threads scale them).
+
+        ``num_shards`` is the GLOBAL device count. In a multi-process run
+        every process builds the same seed-deterministic global scene order
+        but collates ONLY its own ``num_shards / process_count`` shards; the
+        trainer assembles the global array with
+        ``jax.make_array_from_process_local_data``."""
         ds = self.setup("train")
         caps = shard_caps(self.cfg, "train")
         plan = plan_spec(self.cfg, "train")
         bs = self.cfg.data.batch_size
+        if num_shards % process_count:
+            raise ValueError(f"global shards {num_shards} not divisible by "
+                             f"process count {process_count}")
+        local = num_shards // process_count
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(ds))
         per_step = bs * num_shards
@@ -54,13 +72,13 @@ class DataModule:
 
         def make(step: int) -> dict:
             shards = []
-            for s in range(num_shards):
+            for s in range(process_index * local, (process_index + 1) * local):
                 lo = step * per_step + s * bs
                 items = [ds[int(i)] for i in order[lo : lo + bs]]
                 shards.append(device_arrays(collate(items, caps, plan)))
             return {k: np.stack([sh[k] for sh in shards]) for k in shards[0]}
 
-        yield from _prefetch_iter(make, steps, prefetch)
+        yield from _pool_iter(make, steps, self.num_workers, prefetch)
 
     def eval_batches(self, split: str, prefetch: int = 2) -> Iterator[tuple]:
         """(scan_id, batch, item) per scene, batch_size=1, eval caps."""
@@ -73,7 +91,28 @@ class DataModule:
             b = collate([item], caps, plan)
             return b["scan_ids"][0], device_arrays(b), item
 
-        yield from _prefetch_iter(make, len(ds), prefetch)
+        yield from _pool_iter(make, len(ds), self.num_workers, prefetch)
+
+
+def _pool_iter(make, n: int, workers: int, depth: int):
+    """In-order results from a ``workers``-thread pool, at most
+    ``max(workers, depth)`` items in flight (bounds host memory)."""
+    if n <= 0:
+        return
+    if workers <= 1:
+        yield from _prefetch_iter(make, n, depth)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = min(max(workers, depth), n)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futures = {i: ex.submit(make, i) for i in range(window)}
+        for i in range(n):
+            item = futures.pop(i).result()  # re-raises worker exceptions
+            nxt = i + window
+            if nxt < n:
+                futures[nxt] = ex.submit(make, nxt)
+            yield item
 
 
 def _prefetch_iter(make, n: int, depth: int):

@@ -111,6 +111,7 @@ class HAISNet(nn.Module):
     radius_avg: tuple
     caps: StaticCaps
     compute_dtype: str | None = None
+    channel_major: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool,
@@ -118,7 +119,8 @@ class HAISNet(nn.Module):
                  mask_filter_thre: float = 0.5) -> dict:
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
-                       self.classes, self.compute_dtype, name="backbone")(
+                       self.classes, self.compute_dtype, self.channel_major,
+                       name="backbone")(
             vfeats, plan, v2p, batch["point_mask"], train)
         if not with_heads:
             return out
@@ -180,6 +182,7 @@ def make_net(cfg, split: str) -> HAISNet:
         radius_avg=tuple(cfg.data.radius_avg),
         caps=StaticCaps.from_cfg(cfg, split),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
+        channel_major=bool(net_cfg.get("channel_major", False)),
     )
 
 

@@ -31,11 +31,15 @@ def _conv_init(kernel_volume: int, fan_in: int):
 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over valid rows only (ME.MinkowskiBatchNorm / nn.BatchNorm1d
-    semantics: torch defaults momentum=0.1, eps=1e-5, biased batch variance)."""
+    semantics: torch defaults momentum=0.1, eps=1e-5, biased batch variance).
+
+    ``cm=True`` takes channel-major (C, V) activations (see sparse_conv.py's
+    channel-major section); parameter/stat shapes are identical either way."""
 
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
@@ -44,14 +48,16 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
+        v_axis = 1 if self.cm else 0
+        mask_b = mask[None, :] if self.cm else mask[:, None]
         # stats in f32 even when activations are stored bf16 (a bf16 sum over
         # ~100k rows loses the mean entirely); output returns to x.dtype
         x32 = x.astype(jnp.float32)
         if train:
-            m = mask[:, None].astype(jnp.float32)
+            m = mask_b.astype(jnp.float32)
             cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x32 * m, axis=0) / cnt
-            var = jnp.sum((x32 - mean) ** 2 * m, axis=0) / cnt
+            mean = jnp.sum(x32 * m, axis=v_axis) / cnt
+            var = jnp.sum((x32 - _bc(mean, self.cm)) ** 2 * m, axis=v_axis) / cnt
             if not self.is_initializing():
                 # torch running stats use the unbiased batch variance
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
@@ -60,8 +66,14 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return jnp.where(mask[:, None], y, 0).astype(x.dtype)
+        y = ((x32 - _bc(mean, self.cm)) * _bc(jax.lax.rsqrt(var + self.eps), self.cm)
+             * _bc(scale, self.cm) + _bc(bias, self.cm))
+        return jnp.where(mask_b, y, 0).astype(x.dtype)
+
+
+def _bc(vec: jax.Array, cm: bool) -> jax.Array:
+    """Broadcast a (C,) vector against (V, C) rows or (C, V) columns."""
+    return vec[:, None] if cm else vec
 
 
 class SubmConv(nn.Module):
@@ -70,11 +82,14 @@ class SubmConv(nn.Module):
     in_features: int
     out_features: int
     compute_dtype: str | None = None
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, level: Level) -> jax.Array:
         w = self.param("kernel", _conv_init(27, self.in_features),
                        (27, self.in_features, self.out_features))
+        if self.cm:
+            return sparse_conv.subm_conv_cm(x, level, w, self.compute_dtype)
         return sparse_conv.subm_conv(x, level, w, self.compute_dtype)
 
 
@@ -83,11 +98,15 @@ class Conv1x1(nn.Module):
 
     in_features: int
     out_features: int
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         w = self.param("kernel", _conv_init(1, self.in_features),
                        (self.in_features, self.out_features))
+        if self.cm:
+            return jax.lax.dot_general(
+                w, x, dimension_numbers=(((0,), (0,)), ((), ()))).astype(x.dtype)
         return (x @ w).astype(x.dtype)
 
 
@@ -97,11 +116,14 @@ class DownConv(nn.Module):
     in_features: int
     out_features: int
     compute_dtype: str | None = None
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, child: Level, parent_cap: int) -> jax.Array:
         w = self.param("kernel", _conv_init(8, self.in_features),
                        (8, self.in_features, self.out_features))
+        if self.cm:
+            return sparse_conv.down_conv_cm(x, child, parent_cap, w, self.compute_dtype)
         return sparse_conv.down_conv(x, child, parent_cap, w, self.compute_dtype)
 
 
@@ -111,11 +133,14 @@ class UpConv(nn.Module):
     in_features: int
     out_features: int
     compute_dtype: str | None = None
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, child: Level) -> jax.Array:
         w = self.param("kernel", _conv_init(8, self.in_features),
                        (8, self.in_features, self.out_features))
+        if self.cm:
+            return sparse_conv.up_conv_cm(x, child, w, self.compute_dtype)
         return sparse_conv.up_conv(x, child, w, self.compute_dtype)
 
 
@@ -125,18 +150,22 @@ class ResidualBlock(nn.Module):
     in_features: int
     out_features: int
     compute_dtype: str | None = None
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, level: Level, train: bool) -> jax.Array:
         identity = x
         if self.in_features != self.out_features:
-            identity = Conv1x1(self.in_features, self.out_features, name="downsample")(x)
-        y = MaskedBatchNorm(self.in_features)(x, level.valid, train)
+            identity = Conv1x1(self.in_features, self.out_features, cm=self.cm,
+                               name="downsample")(x)
+        y = MaskedBatchNorm(self.in_features, cm=self.cm)(x, level.valid, train)
         y = nn.relu(y)
-        y = SubmConv(self.in_features, self.out_features, self.compute_dtype)(y, level)
-        y = MaskedBatchNorm(self.out_features)(y, level.valid, train)
+        y = SubmConv(self.in_features, self.out_features, self.compute_dtype,
+                     self.cm)(y, level)
+        y = MaskedBatchNorm(self.out_features, cm=self.cm)(y, level.valid, train)
         y = nn.relu(y)
-        y = SubmConv(self.out_features, self.out_features, self.compute_dtype)(y, level)
+        y = SubmConv(self.out_features, self.out_features, self.compute_dtype,
+                     self.cm)(y, level)
         return y + identity
 
 
@@ -151,30 +180,34 @@ class UBlock(nn.Module):
     block_reps: int = 2
     compute_dtype: str | None = None
     depth: int = 0
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, plan: GridPlan, train: bool) -> jax.Array:
         level = plan.levels[self.depth]
         p0 = self.planes[0]
         for i in range(self.block_reps):
-            x = ResidualBlock(p0, p0, self.compute_dtype, name=f"block{i}")(x, level, train)
+            x = ResidualBlock(p0, p0, self.compute_dtype, self.cm,
+                              name=f"block{i}")(x, level, train)
         identity = x
 
         if len(self.planes) > 1:
             p1 = self.planes[1]
             parent = plan.levels[self.depth + 1]
-            y = MaskedBatchNorm(p0, name="conv_bn")(x, level.valid, train)
+            y = MaskedBatchNorm(p0, cm=self.cm, name="conv_bn")(x, level.valid, train)
             y = nn.relu(y)
-            y = DownConv(p0, p1, self.compute_dtype, name="conv")(y, level, parent.cap)
+            y = DownConv(p0, p1, self.compute_dtype, self.cm, name="conv")(y, level, parent.cap)
             y = UBlock(self.planes[1:], self.block_reps, self.compute_dtype,
-                       self.depth + 1, name="u")(y, plan, train)
-            y = MaskedBatchNorm(p1, name="deconv_bn")(y, parent.valid, train)
+                       self.depth + 1, self.cm, name="u")(y, plan, train)
+            y = MaskedBatchNorm(p1, cm=self.cm, name="deconv_bn")(y, parent.valid, train)
             y = nn.relu(y)
-            y = UpConv(p1, p0, self.compute_dtype, name="deconv")(y, level)
-            x = jnp.concatenate([identity, y], axis=1)  # skip: ME.cat (common.py:93)
+            y = UpConv(p1, p0, self.compute_dtype, self.cm, name="deconv")(y, level)
+            # skip connection: ME.cat (common.py:93) — channel axis is 0 in cm
+            x = jnp.concatenate([identity, y], axis=0 if self.cm else 1)
             for i in range(self.block_reps):
                 cin = p0 * 2 if i == 0 else p0
-                x = ResidualBlock(cin, p0, self.compute_dtype, name=f"block_tail{i}")(x, level, train)
+                x = ResidualBlock(cin, p0, self.compute_dtype, self.cm,
+                                  name=f"block_tail{i}")(x, level, train)
         return x
 
 
@@ -183,12 +216,13 @@ class TinyUnet(nn.Module):
 
     channel: int
     compute_dtype: str | None = None
+    cm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, plan: GridPlan, train: bool) -> jax.Array:
         c = self.channel
-        x = UBlock((c, 2 * c), 2, self.compute_dtype, 0, name="unet")(x, plan, train)
-        x = MaskedBatchNorm(c)(x, plan.levels[0].valid, train)
+        x = UBlock((c, 2 * c), 2, self.compute_dtype, 0, self.cm, name="unet")(x, plan, train)
+        x = MaskedBatchNorm(c, cm=self.cm)(x, plan.levels[0].valid, train)
         return nn.relu(x)
 
 
@@ -216,6 +250,7 @@ class Backbone(nn.Module):
     block_reps: int
     sem_classes: int
     compute_dtype: str | None = None
+    cm: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats: jax.Array, plan: GridPlan, v2p: jax.Array,
@@ -225,12 +260,18 @@ class Backbone(nn.Module):
         # every conv gather/scatter (stats and heads still run in f32)
         if self.compute_dtype is not None:
             voxel_feats = voxel_feats.astype(self.compute_dtype)
-        x = SubmConv(self.input_channel, m, self.compute_dtype, name="input_conv")(
-            voxel_feats, plan.levels[0])
+        if self.cm:
+            # one (V, Cin) -> (Cin, V) relayout at entry; the whole UNet then
+            # runs channel-major (dense tiles, see sparse_conv.py)
+            voxel_feats = voxel_feats.T
+        x = SubmConv(self.input_channel, m, self.compute_dtype, self.cm,
+                     name="input_conv")(voxel_feats, plan.levels[0])
         x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
-                   self.compute_dtype, 0, name="unet")(x, plan, train)
-        x = MaskedBatchNorm(m, name="out_bn")(x, plan.levels[0].valid, train)
+                   self.compute_dtype, 0, self.cm, name="unet")(x, plan, train)
+        x = MaskedBatchNorm(m, cm=self.cm, name="out_bn")(x, plan.levels[0].valid, train)
         x = nn.relu(x)
+        if self.cm:
+            x = x.T  # back to (V, m) for the point heads
 
         # devoxelize: voxel -> point gather (backbone.py:40); v2p == cap reads 0
         pf = sparse_conv.ext_zero(x)[v2p]

@@ -185,6 +185,7 @@ class SoftGroupNet(nn.Module):
     point_num_avg: tuple
     caps: StaticCaps
     compute_dtype: str | None = None
+    channel_major: bool = False
     packed_grouping: bool = True
 
     @property
@@ -199,7 +200,8 @@ class SoftGroupNet(nn.Module):
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
-                       self.classes, self.compute_dtype, name="backbone")(
+                       self.classes, self.compute_dtype, self.channel_major,
+                       name="backbone")(
             vfeats, plan, v2p, batch["point_mask"], train)
         if not with_heads:
             return out
@@ -264,6 +266,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         point_num_avg=tuple(cfg.data.point_num_avg),
         caps=StaticCaps.from_cfg(cfg, split),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
+        channel_major=bool(net_cfg.get("channel_major", False)),
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),
     )
 

@@ -174,18 +174,23 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     candidate (measured; BENCH_NOTES "next levers" #1). This variant packs the
     candidates into a static edge buffer of ``edge_cap`` entries:
 
-      1. run bounds per (offset, point) exactly as the fused path (two
+      1. run bounds per (point, offset) exactly as the fused path (two
          sorted-union lookups), run length capped at ``window``;
-      2. each run gets a contiguous extent of edge slots by exclusive cumsum;
-         a scatter of run ids at extent starts + cummax recovers slot->run;
+      2. each run gets a contiguous extent of edge slots by exclusive cumsum
+         (POINT-major, so a point's candidates are contiguous and an edge-cap
+         overflow degrades tail points instead of whole offsets); slot->run
+         and slot->extent-base are both recovered gather-free by scatter +
+         cummax (extent bases are monotone in run order);
       3. per-edge distance test on gathered candidate / query coordinates;
-      4. one (point, rank, offset) sort re-interleaves the edges into
-         window-position-major order — the SAME candidate order as the fused
-         schedule — so the per-point cumsum K-cap keeps identical neighbors
-         (fused vs edge paths are bit-identical; tests/test_cluster.py).
+      4. one 2-operand sort on a packed (point, rank, offset) key (failing
+         edges carry a sentinel key and sort to the end) re-interleaves the
+         survivors into window-position-major order — the SAME candidate
+         order as the fused schedule — so a positional K-cap keeps identical
+         neighbors (fused vs edge paths are bit-identical;
+         tests/test_cluster.py).
 
-    Edges beyond ``edge_cap`` are dropped deterministically (the tail of the
-    offset-major enumeration) and surfaced in the returned count.
+    Edges beyond ``edge_cap`` are dropped deterministically and surfaced in
+    the returned count.
 
     Returns (nbr_idx (N, k), nbr_valid (N, k), edges_dropped ()).
     """
@@ -206,6 +211,7 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         offsets = [o for o in offsets if o >= (0, 0, 0)]
     offs = jnp.array(offsets, jnp.int32)
     n_off = len(offsets)
+    assert n * window * _pow2(n_off) < 2**31, "edge sort key overflows int32"
 
     q_cell = cell[None, :, :] + offs[:, None, :]               # (n_off, N, 3)
     in_rng = jnp.all((q_cell >= 0) & (q_cell < hs.COORD_MAX), axis=-1) & valid[None, :]
@@ -215,24 +221,29 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     _, _, starts = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1) - 1)
     _, _, ends = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1))
 
-    # run extents in edge space, offset-major (run r = o * N + p keeps the
-    # (n_off, N) layout — N minor — with no transposed temps)
+    # run extents in edge space, point-major: run r = p * n_off + o
     run_len = jnp.where(in_rng.reshape(-1),
                         jnp.clip(ends - starts, 0, window), 0).astype(jnp.int32)
+    run_len = run_len.reshape(n_off, n).T.reshape(-1)
+    starts_pm = starts.reshape(n_off, n).T.reshape(-1)
     base = jnp.cumsum(run_len) - run_len                       # exclusive
     total = base[-1] + run_len[-1]
     edges_dropped = jnp.maximum(total - edge_cap, 0)
 
-    # slot -> run: scatter each run id at its extent start, forward-fill by
-    # cummax (ties at equal starts resolve to the last = only nonempty run)
+    # slot -> run and slot -> extent base, both via scatter + cummax (extent
+    # bases are non-decreasing in run order, so ties at equal starts resolve
+    # to the last = only nonempty run, and the fill is exact)
     run_ids = jnp.arange(run_len.shape[0], dtype=jnp.int32)
-    mark = jnp.zeros((edge_cap,), jnp.int32).at[base].max(run_ids, mode="drop")
-    run = jax.lax.cummax(mark)                                 # (E,)
+    run = jax.lax.cummax(jnp.zeros((edge_cap,), jnp.int32).at[base].max(
+        run_ids, mode="drop"))
+    base_e = jax.lax.cummax(jnp.zeros((edge_cap,), jnp.int32).at[base].max(
+        base, mode="drop"))
     e = jnp.arange(edge_cap, dtype=jnp.int32)
     e_valid = e < jnp.minimum(total, edge_cap)
-    w_e = e - base[run]
-    pos = jnp.minimum(starts[run] + w_e, n)
-    p_e = run % n                                              # query point
+    w_e = e - base_e
+    pos = jnp.minimum(starts_pm[run] + w_e, n)
+    p_e = run // n_off                                         # query point
+    o_e = run - p_e * n_off
 
     coords_s = coords[perm]
     zero1 = jnp.zeros((1,), coords.dtype)
@@ -247,26 +258,29 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     dz = zs[pos] - qz[p_e]
     r2 = jnp.float32(radius * radius)
     ok = e_valid & (dx * dx + dy * dy + dz * dz <= r2)
-    cand = jnp.where(ok, perm_ext[pos], n)
 
     # window-position-major order (w, o) per point == the fused schedule's
     # candidate order; see ball_query's layout comment for why that order
-    # matters (cross-cell edges must rank before any dense run saturates K)
-    p_key = jnp.where(e_valid, p_e, n)
-    wo_key = w_e * jnp.int32(n_off) + (run // n)
-    p_s, _, cand_s, ok_s = jax.lax.sort(
-        (p_key, wo_key, cand, ok.astype(jnp.int32)), num_keys=2)
-    ok_s = ok_s.astype(bool)
+    # matters (cross-cell edges must rank before any dense run saturates K).
+    # Failed edges get the sentinel key, so after the sort each point's
+    # segment holds ONLY its in-radius candidates in (w, o) order.
+    op2 = _pow2(n_off)
+    key = jnp.where(ok, (p_e * window + w_e) * op2 + o_e, hs.SENTINEL)
+    key_s, pos_s = jax.lax.sort((key, pos), num_keys=1)
+    ok_s = key_s != hs.SENTINEL
+    p_s = jnp.where(ok_s, key_s // (window * op2), n)
 
-    # per-point rank among ok edges: exclusive global cumsum rebased at each
-    # point's first edge (exc is non-decreasing, so cummax forward-fills)
-    ok_i = ok_s.astype(jnp.int32)
-    exc = jnp.cumsum(ok_i) - ok_i
+    # rank within point = distance from the segment's first edge
     first = jnp.concatenate([jnp.ones((1,), bool), p_s[1:] != p_s[:-1]])
-    seg_base = jax.lax.cummax(jnp.where(first, exc, -1))
-    col = exc - seg_base
+    seg_start = jax.lax.cummax(jnp.where(first, e, -1))
+    col = e - seg_start
     store = ok_s & (col < k)
     col_c = jnp.where(store, col, k)
-    nbr_idx = jnp.zeros((n, k), jnp.int32).at[p_s, col_c].set(cand_s, mode="drop")
+    cand = jnp.where(store, perm_ext[pos_s], n)
+    nbr_idx = jnp.zeros((n, k), jnp.int32).at[p_s, col_c].set(cand, mode="drop")
     nbr_valid = jnp.zeros((n, k), bool).at[p_s, col_c].set(store, mode="drop")
     return jnp.where(nbr_valid, nbr_idx, n), nbr_valid, edges_dropped
+
+
+def _pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()

@@ -88,3 +88,74 @@ def up_conv(parent_feats: jax.Array, child: Level, weight: jax.Array,
         out = out + _mm(masked, weight[k], compute_dtype)
     out = jnp.where(child.valid[:, None], out, 0)
     return out.astype(parent_feats.dtype)
+
+
+# -- channel-major (C, V) variants --------------------------------------------
+#
+# (V, C) activations tile to (8, 128) on TPU, padding the C axis up to 8x at
+# the backbone's m=16 — every neighbor-gather row fetch then moves 128 lanes
+# to use 16 (BENCH_NOTES round-2 lever 3). The channel-major layout keeps the
+# BIG axis (V) minor so tiles are dense; neighbor gathers move whole (C, idx)
+# columns and the tap GEMMs contract C via dot_general. Weight shapes are
+# IDENTICAL to the row-major path, so checkpoints are interchangeable.
+
+
+def _mm_cm(w: jax.Array, g: jax.Array, compute_dtype=None) -> jax.Array:
+    """(g_taps, Cin, Cout) x (Cin, V, g_taps) -> (Cout, V), contracting
+    (tap, Cin); f32 accumulate (HIGHEST for the exact-f32 path)."""
+    precision = None
+    if compute_dtype is not None:
+        w = w.astype(compute_dtype)
+        g = g.astype(compute_dtype)
+    if compute_dtype in (None, jnp.float32, "float32"):
+        precision = jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        w, g, dimension_numbers=(((0, 1), (2, 0)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def ext_zero_cm(feats_cv: jax.Array) -> jax.Array:
+    """Append a zero COLUMN: index ``cap`` gathers zeros (missing neighbor)."""
+    return jnp.concatenate(
+        [feats_cv, jnp.zeros(feats_cv.shape[:-1] + (1,), feats_cv.dtype)], axis=-1)
+
+
+def subm_conv_cm(feats_cv: jax.Array, level: Level, weight: jax.Array,
+                 compute_dtype=None, tap_group: int = 27) -> jax.Array:
+    """3^3 submanifold conv, channel-major. feats_cv (Cin, V), weight
+    (27, Cin, Cout) -> (Cout, V)."""
+    v = feats_cv.shape[1]
+    cout = weight.shape[-1]
+    fe = ext_zero_cm(feats_cv)
+    out = jnp.zeros((cout, v), jnp.float32)
+    for g0 in range(0, 27, tap_group):
+        g1 = min(g0 + tap_group, 27)
+        gathered = fe[:, level.nbr_idx[:, g0:g1]]          # (Cin, V, g)
+        out = out + _mm_cm(weight[g0:g1], gathered, compute_dtype)
+    return out.astype(feats_cv.dtype)
+
+
+def down_conv_cm(feats_cv: jax.Array, child: Level, parent_cap: int,
+                 weight: jax.Array, compute_dtype=None) -> jax.Array:
+    """k2s2 strided conv child -> parent, channel-major. weight (8, Cin, Cout)."""
+    cout = weight.shape[-1]
+    contrib = jnp.zeros((cout, feats_cv.shape[1]), jnp.float32)
+    for k in range(8):
+        masked = jnp.where((child.child_kid == k)[None, :], feats_cv, 0)
+        contrib = contrib + _mm_cm(weight[k:k + 1], masked[:, :, None], compute_dtype)
+    contrib = jnp.where(child.valid[None, :], contrib, 0)
+    out = jnp.zeros((cout, parent_cap + 1), jnp.float32).at[:, child.parent_idx].add(contrib)
+    return out[:, :parent_cap].astype(feats_cv.dtype)
+
+
+def up_conv_cm(parent_cv: jax.Array, child: Level, weight: jax.Array,
+               compute_dtype=None) -> jax.Array:
+    """k2s2 transposed conv parent -> child, channel-major. weight (8, Cp, Cc)."""
+    pf = ext_zero_cm(parent_cv)[:, child.parent_idx]       # (Cp, V)
+    cout = weight.shape[-1]
+    out = jnp.zeros((cout, pf.shape[1]), jnp.float32)
+    for k in range(8):
+        masked = jnp.where((child.child_kid == k)[None, :], pf, 0)
+        out = out + _mm_cm(weight[k:k + 1], masked[:, :, None], compute_dtype)
+    out = jnp.where(child.valid[None, :], out, 0)
+    return out.astype(parent_cv.dtype)

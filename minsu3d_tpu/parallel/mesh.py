@@ -31,6 +31,28 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def warmup_collectives(mesh: Mesh) -> None:
+    """Run one tiny psum over the full mesh right after startup.
+
+    The cross-process collective context (Gloo on CPU, ICI elsewhere) is
+    created lazily at first use with a ~30 s rendezvous timeout; the first
+    REAL collective sits behind each process's independent XLA compile of the
+    train step, whose skew can exceed that timeout. Creating the context here
+    — when all processes are within seconds of each other — lets later
+    collectives reuse it and tolerate arbitrary compile skew (verified: a
+    warmed 2-process CPU clique survives 60 s of skew)."""
+    import numpy as np
+
+    n_local = len([d for d in mesh.devices.reshape(-1)
+                   if d.process_index == jax.process_index()])
+    local = np.ones((n_local, 8), np.float32)
+    arr = jax.make_array_from_process_local_data(data_sharded(mesh), local)
+    f = jax.jit(jax.shard_map(lambda x: jax.lax.psum(jnp.sum(x), "data"),
+                              mesh=mesh, in_specs=P("data"), out_specs=P(),
+                              check_vma=False))
+    jax.block_until_ready(f(arr))
+
+
 def make_train_step(mesh: Mesh, apply_fn, loss_fn, tx):
     """Build the jitted data-parallel train step.
 

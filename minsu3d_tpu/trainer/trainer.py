@@ -76,6 +76,12 @@ class Trainer:
         self.bundle = get_model(self.model_name)
         self.mesh = meshlib.make_mesh(cfg.model.trainer.devices)
         self.num_shards = len(self.mesh.devices.reshape(-1))
+        # multi-host (jax.distributed initialized by train.py): each process
+        # feeds its own shards; logging/checkpointing happen on process 0
+        self.process_count = jax.process_count()
+        self.process_index = jax.process_index()
+        if self.process_count > 1:
+            meshlib.warmup_collectives(self.mesh)
         self.train_caps = StaticCaps.from_cfg(cfg, "train")
         self.eval_caps = StaticCaps.from_cfg(cfg, "val")
         self.train_net = self.bundle.make_net(cfg, "train")
@@ -91,7 +97,7 @@ class Trainer:
         log_cfg = cfg.model.get("logger") or {}
         self.logger = MetricsLogger(
             os.path.join(cfg.exp_output_root_path, "metrics.jsonl")
-            if cfg.get("exp_output_root_path") else None,
+            if cfg.get("exp_output_root_path") and self.process_index == 0 else None,
             kind=log_cfg.get("kind", "jsonl"),
             project=log_cfg.get("project"), name=log_cfg.get("name"))
         self.ckpt_dir = cfg.model.checkpoint.dirpath if cfg.model.checkpoint.get("dirpath") else None
@@ -102,7 +108,8 @@ class Trainer:
     def init_params(self, example_batch: dict, seed: int = 0) -> None:
         if self.params is not None:
             return
-        shard0 = jax.tree.map(lambda x: x[0] if x.ndim > 0 and x.shape[0] == self.num_shards
+        local_shards = self.num_shards // self.process_count
+        shard0 = jax.tree.map(lambda x: x[0] if x.ndim > 0 and x.shape[0] == local_shards
                               else x, example_batch)
         key = jax.random.PRNGKey(seed)
         flags = self.bundle.forward_flags(self.cfg, 0, True)
@@ -187,8 +194,13 @@ class Trainer:
             agg: dict[str, float] = {}
             diag_agg: dict[str, float] = {}
             nsteps = 0
-            for batch in self.dm.train_batches(self.num_shards, seed + self.epoch):
+            for batch in self.dm.train_batches(self.num_shards, seed + self.epoch,
+                                               process_index=self.process_index,
+                                               process_count=self.process_count):
                 if first:
+                    # init from the process-local shard: flax initializers
+                    # depend on shapes + PRNG key only, so every process
+                    # derives identical params without seeing global data
                     self.init_params(batch, seed)
                     sanity = cfg.model.trainer.get("num_sanity_val_steps", 0)
                     if sanity and self.epoch == 0:
@@ -196,16 +208,20 @@ class Trainer:
                     if profile_dir:
                         jax.profiler.start_trace(profile_dir)
                     first = False
+                if self.process_count > 1:
+                    sh = meshlib.data_sharded(self.mesh)
+                    batch = jax.tree.map(
+                        lambda x: jax.make_array_from_process_local_data(sh, x), batch)
                 self._set_lr(lr)
                 step = self._train_step(self.heads_active)
                 rng = jax.random.fold_in(jax.random.PRNGKey(seed), self.epoch * 100003 + nsteps)
                 self.params, self.batch_stats, self.opt_state, losses, diag = step(
                     self.params, self.batch_stats, self.opt_state, batch, rng)
                 for k, v in losses.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                    agg[k] = agg.get(k, 0.0) + _local_float(v)
                 for k, v in diag.items():
                     # worst step of the epoch: any nonzero means caps too small
-                    diag_agg[k] = max(diag_agg.get(k, 0.0), float(v))
+                    diag_agg[k] = max(diag_agg.get(k, 0.0), _local_float(v))
                 nsteps += 1
             record = {f"train/{k}": v / max(nsteps, 1) for k, v in agg.items()}
             record.update({f"diag/{k}": v for k, v in diag_agg.items()})
@@ -331,6 +347,16 @@ class Trainer:
         path = os.path.abspath(path)
         ckpt = {"params": self.params, "batch_stats": self.batch_stats,
                 "opt_state": self.opt_state, "epoch": self.epoch}
+        if self.process_count > 1:
+            # train-step outputs are fully replicated; read each process's
+            # LOCAL copy (addressable_data) — a plain np.asarray on a
+            # multi-host array launches a cross-process collective, which
+            # deadlocks when the peers are at different program points
+            ckpt = jax.tree.map(
+                lambda x: np.asarray(x.addressable_data(0))
+                if isinstance(x, jax.Array) else x, ckpt)
+        # every process calls save: orbax elects the primary writer itself and
+        # barriers internally (a process-0-only call deadlocks that barrier)
         ocp.PyTreeCheckpointer().save(path, ckpt, force=True)
         return path
 
@@ -369,6 +395,16 @@ class Trainer:
 # device->host copy to scores/rows instead of hauling the 64 MB padded
 # point_features table through the (remote) device link every scene
 _EVAL_SKIP_KEYS = ("point_features", "point_offsets", "diag")
+
+
+def _local_float(v) -> float:
+    """Scalar from a (possibly multi-host, fully replicated) jax.Array via the
+    process-LOCAL shard — float(x) on a multi-host array triggers a collective
+    fetch that deadlocks when peer processes are at different program points
+    (e.g. still compiling)."""
+    if hasattr(v, "addressable_data"):
+        return float(np.asarray(v.addressable_data(0)))
+    return float(v)
 
 
 def _to_numpy_out(out: dict, n_points: int) -> dict:

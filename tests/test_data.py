@@ -98,3 +98,32 @@ class TestDatasetCollate:
         ds = GeneralDataset(cfg, "train", scenes=tiny_scenes(1))
         item = ds[0]
         assert item["point_xyz"].shape[0] <= 4000
+
+
+class TestWorkerPool:
+    def test_pool_iter_order_and_errors(self):
+        from minsu3d_tpu.data.datamodule import _pool_iter
+
+        out = list(_pool_iter(lambda i: i * i, 20, workers=4, depth=2))
+        assert out == [i * i for i in range(20)]
+
+        def boom(i):
+            if i == 5:
+                raise ValueError("worker failed")
+            return i
+
+        with pytest.raises(ValueError, match="worker failed"):
+            list(_pool_iter(boom, 10, workers=3, depth=2))
+
+    def test_eval_batches_honor_num_workers(self):
+        """data.num_workers > 1 must keep scene order (reference DataLoader
+        num_workers semantics, data_module.py:26)."""
+        from minsu3d_tpu.data.datamodule import DataModule
+
+        cfg = tiny_cfg()
+        cfg.data.num_workers = 4
+        dm = DataModule(cfg, scenes={"val": tiny_scenes(6)})
+        ds = dm.setup("val")
+        expect = [ds[i]["scan_id"] for i in range(len(ds))]
+        ids = [scan_id for scan_id, _, _ in dm.eval_batches("val")]
+        assert ids == expect

@@ -278,3 +278,84 @@ class TestHostPlan:
         np.testing.assert_array_equal(np.asarray(feats_d), np.asarray(feats_h))
         np.testing.assert_array_equal(np.asarray(plan_d.levels[0].nbr_idx),
                                       np.asarray(plan_h.levels[0].nbr_idx))
+
+
+class TestChannelMajorConv:
+    """Channel-major (C, V) conv variants must match the row-major path to
+    float tolerance with IDENTICAL weights (same param shapes — checkpoints
+    are layout-interchangeable)."""
+
+    def _plan(self, rng, n=200, cap=256, levels=2):
+        batch, coords = random_voxels(rng, n, extent=16, batches=2)
+        n = len(batch)
+        feats = rng.normal(size=(n, 8)).astype(np.float32)
+        caps = [cap for _ in range(levels)]
+        plan, row2voxel, feats_v = sparse.build_plan(
+            jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)),
+            jnp.arange(cap) < n, caps, levels, jnp.array(pad(feats, cap)))
+        return plan, feats_v
+
+    def test_subm_cm_matches_row(self):
+        rng = np.random.default_rng(11)
+        plan, feats_v = self._plan(rng)
+        w = jnp.array(rng.normal(size=(27, 8, 5)).astype(np.float32) * 0.2)
+        row = np.asarray(sparse_conv.subm_conv(feats_v, plan.levels[0], w))
+        cm = np.asarray(sparse_conv.subm_conv_cm(feats_v.T, plan.levels[0], w))
+        np.testing.assert_allclose(cm.T, row, rtol=1e-5, atol=1e-5)
+
+    def test_down_up_cm_match_row(self):
+        rng = np.random.default_rng(12)
+        plan, feats_v = self._plan(rng)
+        child, parent = plan.levels[0], plan.levels[1]
+        wd = jnp.array(rng.normal(size=(8, 8, 6)).astype(np.float32) * 0.2)
+        row = np.asarray(sparse_conv.down_conv(feats_v, child, parent.cap, wd))
+        cm = np.asarray(sparse_conv.down_conv_cm(feats_v.T, child, parent.cap, wd))
+        np.testing.assert_allclose(cm.T, row, rtol=1e-5, atol=1e-5)
+
+        pf = jnp.array(rng.normal(size=(parent.cap, 6)).astype(np.float32))
+        wu = jnp.array(rng.normal(size=(8, 6, 8)).astype(np.float32) * 0.2)
+        row = np.asarray(sparse_conv.up_conv(pf, child, wu))
+        cm = np.asarray(sparse_conv.up_conv_cm(pf.T, child, wu))
+        np.testing.assert_allclose(cm.T, row, rtol=1e-5, atol=1e-5)
+
+
+def test_backbone_channel_major_matches_row_major():
+    """Full Backbone forward: cm=True must reproduce cm=False outputs with the
+    same params (f32; train and eval modes)."""
+    import jax
+    from helpers import tiny_cfg, make_batch
+    from minsu3d_tpu.model import general_model as gm
+    from minsu3d_tpu.model.module import Backbone
+
+    cfg = tiny_cfg()
+    batch, arrays, items = make_batch(cfg, "val", 1, seed=3)
+    n_levels = len(cfg.model.network.blocks)
+    caps = gm.backbone_caps(cfg, "val")
+    plan, v2p, vfeats = gm.build_scene_plan(arrays, caps[:n_levels], n_levels)
+
+    kw = dict(input_channel=6, output_channel=cfg.model.network.m,
+              block_channels=tuple(cfg.model.network.blocks),
+              block_reps=cfg.model.network.block_reps, sem_classes=20)
+    row_net = Backbone(**kw, cm=False)
+    cm_net = Backbone(**kw, cm=True)
+    variables = row_net.init(jax.random.PRNGKey(0), vfeats, plan, v2p,
+                             arrays["point_mask"], False)
+    out_row = row_net.apply(variables, vfeats, plan, v2p, arrays["point_mask"], False)
+    out_cm = cm_net.apply(variables, vfeats, plan, v2p, arrays["point_mask"], False)
+    for k in out_row:
+        np.testing.assert_allclose(np.asarray(out_cm[k]), np.asarray(out_row[k]),
+                                   rtol=2e-4, atol=2e-4)
+
+    # train mode: batch_stats updates must match too
+    out_row, mrow = row_net.apply(variables, vfeats, plan, v2p, arrays["point_mask"],
+                                  True, mutable=["batch_stats"])
+    out_cm, mcm = cm_net.apply(variables, vfeats, plan, v2p, arrays["point_mask"],
+                               True, mutable=["batch_stats"])
+    for k in out_row:
+        np.testing.assert_allclose(np.asarray(out_cm[k]), np.asarray(out_row[k]),
+                                   rtol=2e-4, atol=2e-4)
+    flat_r = jax.tree_util.tree_leaves_with_path(mrow["batch_stats"])
+    flat_c = dict(jax.tree_util.tree_leaves_with_path(mcm["batch_stats"]))
+    for path, leaf in flat_r:
+        np.testing.assert_allclose(np.asarray(flat_c[path]), np.asarray(leaf),
+                                   rtol=2e-4, atol=2e-4)

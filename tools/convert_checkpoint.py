@@ -16,11 +16,19 @@ Usage:
 Layout conventions handled:
   * torch ``nn.Linear`` weight is (out, in) -> flax Dense kernel (in, out).
   * ME conv kernels are (kernel_volume, in, out) with taps enumerated
-    FIRST-COORDINATE-FASTEST (x innermost — MinkowskiEngine's KernelRegion
-    iterator increments axis 0 first). This framework enumerates taps
-    z-fastest (ops/sparse.py::KERNEL_OFFSETS) and stores dense head kernels
-    as (kx, ky, kz, in, out). ``--tap-order z-fastest`` flips the assumption
-    if a real-checkpoint parity check ever disagrees.
+    FIRST-COORDINATE-FASTEST (x innermost). Basis: MinkowskiEngine's
+    kernel_region iterator (MinkowskiEngine/src/kernel_region.hpp,
+    region_iterator::operator++) advances coordinate 0 first and carries
+    into higher axes, so offsets enumerate (-1,-1,-1), (0,-1,-1),
+    (1,-1,-1), (-1,0,-1), ... — x fastest. ME itself is an external
+    dependency whose source is not vendored in the reference tree
+    (/root/reference has only the pip name, README.md:44-46), so this
+    cannot be re-derived from files on disk here; the order above is from
+    the public ME source. This framework enumerates taps z-fastest
+    (ops/sparse.py::KERNEL_OFFSETS) and stores dense head kernels as
+    (kx, ky, kz, in, out). ``--tap-order z-fastest`` flips the assumption
+    if a real-checkpoint AP parity run ever disagrees (the decisive check
+    needs the released ckpts, unavailable in this zero-egress image).
   * ME kernel_size=1 convs store a 2-D (in, out) kernel.
   * MinkowskiBatchNorm wraps ``nn.BatchNorm1d`` as attribute ``bn``; plain
     point-head BatchNorm1d (backbone.py:22-33) has no ``bn`` infix.

@@ -88,6 +88,16 @@ timeit("ball_query fused nogroup",
        lambda c: ball_query(c, ub, ua, radius, K, W, fused=True), uc)
 timeit("ball_query fused halfspace",
        lambda c: ball_query(c, ub, ua, radius, K, W, half_space=True, group=ug, fused=True), uc)
+
+from minsu3d_tpu.ops.ballquery import ball_query_edge
+for ef in (16, 24, 32):
+    E = ef * u_cap
+    r_full = timeit(f"ball_query edge E={ef}x full",
+                    lambda c: ball_query_edge(c, ub, ua, radius, K, W, E, group=ug), uc)
+    r_half = timeit(f"ball_query edge E={ef}x halfspace",
+                    lambda c: ball_query_edge(c, ub, ua, radius, K, W, E,
+                                              half_space=True, group=ug), uc)
+    print(f"#   edges dropped full={int(r_full[2])} half={int(r_half[2])}")
 nbr, ok = bq_f
 timeit("connected_components", lambda a, o: connected_components(a, o, ua, ug), nbr, ok)
 timeit("CC maxiter8", lambda a, o: connected_components(a, o, ua, ug, max_iters=8), nbr, ok)

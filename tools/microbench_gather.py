@@ -76,3 +76,22 @@ for dtype in (jnp.bfloat16, jnp.float32):
         return out
 
     timeit(f"{dn} subm_conv cm tap-loop", subm_cm_loop, x_cv, nbr, w)
+
+# --- gather locality: does sorted/near-sequential index order cut the
+# ~9ns/element random-gather cost? Decides the sorted-space ball query.
+E2 = 3_000_000
+SRC = 57344
+src = jnp.array(rng.normal(0, 1, (SRC + 1,)), jnp.float32)
+idx_rand = jnp.array(rng.integers(0, SRC, E2), jnp.int32)
+idx_sort = jnp.sort(idx_rand)
+# near-sequential with small jitter (like run-local candidate fetches)
+idx_seq = jnp.array(np.clip(np.arange(E2) * SRC // E2
+                            + rng.integers(-8, 8, E2), 0, SRC - 1), jnp.int32)
+idx_const = jnp.array(np.repeat(rng.integers(0, SRC, E2 // 64), 64)[:E2], jnp.int32)
+
+timeit("1d gather 3M random", lambda s, i: s[i].sum(), src, idx_rand)
+timeit("1d gather 3M sorted", lambda s, i: s[i].sum(), src, idx_sort)
+timeit("1d gather 3M near-seq", lambda s, i: s[i].sum(), src, idx_seq)
+timeit("1d gather 3M piecewise-const", lambda s, i: s[i].sum(), src, idx_const)
+timeit("3x 1d gather 3M sorted", lambda s, i: s[i].sum() + s[jnp.minimum(i + 1, SRC)].sum()
+       + s[jnp.minimum(i + 2, SRC)].sum(), src, idx_sort)

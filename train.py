@@ -21,12 +21,22 @@ from minsu3d_tpu.trainer import Trainer
 def main(overrides: list[str]) -> None:
     cfg = load_config(overrides)
     if int(cfg.model.trainer.get("num_nodes", 1)) > 1:
-        # multi-host: one process per host, coordinator from the standard env
-        # (JAX_COORDINATOR_ADDRESS / TPU metadata); the 1-D data mesh then
-        # spans every host's chips and pmeans ride ICI/DCN
+        # multi-host: one process per host, coordinator from the environment
+        # (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID, or cloud
+        # TPU metadata when unset); the 1-D data mesh then spans every host's
+        # chips, each process feeds only its own shards
+        # (jax.make_array_from_process_local_data in trainer/trainer.py), and
+        # pmeans ride ICI/DCN
+        import os
+
         import jax
 
-        jax.distributed.initialize()
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None)
     np.random.seed(cfg.global_train_seed)
     dm = DataModule(cfg)
     trainer = Trainer(cfg, dm, ckpt_path=cfg.model.get("ckpt_path"))
