@@ -241,7 +241,18 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     e = jnp.arange(edge_cap, dtype=jnp.int32)
     e_valid = e < jnp.minimum(total, edge_cap)
     w_e = e - base_e
-    pos = jnp.minimum(starts_pm[run] + w_e, n)
+
+    # per-edge run/query metadata is PIECEWISE CONSTANT along the edge buffer;
+    # reconstruct it by scattering per-run int32 DELTAS at extent starts and
+    # cumsum-ing (modular int32 arithmetic telescopes exactly — coincident
+    # starts of empty runs just add both deltas). This replaces one ~9ns
+    # random gather per edge per field with one N-sized scatter + one E scan.
+    def fill(vals):
+        deltas = vals - jnp.concatenate([vals[:1] * 0, vals[:-1]])
+        return jnp.cumsum(jnp.zeros((edge_cap,), jnp.int32).at[base].add(
+            deltas, mode="drop"))
+
+    pos = jnp.minimum(fill(starts_pm) + w_e, n)
     p_e = run // n_off                                         # query point
     o_e = run - p_e * n_off
 
@@ -252,10 +263,17 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     zs = jnp.concatenate([coords_s[:, 2], zero1])
     perm_ext = jnp.concatenate([perm, jnp.full((1,), n, jnp.int32)])
 
-    qx, qy, qz = coords[:, 0], coords[:, 1], coords[:, 2]
-    dx = xs[pos] - qx[p_e]
-    dy = ys[pos] - qy[p_e]
-    dz = zs[pos] - qz[p_e]
+    # query coords, bit-exactly, by the same delta fill on repeated per-run
+    # values (f32 bitcast to int32; integer deltas reconstruct the exact
+    # bit pattern, so the distance test matches the fused path bit-for-bit)
+    def fill_coord(col):
+        qi = jax.lax.bitcast_convert_type(coords[:, col], jnp.int32)
+        rep = jnp.repeat(qi, n_off)  # run r = p * n_off + o -> qi[p]
+        return jax.lax.bitcast_convert_type(fill(rep), jnp.float32)
+
+    dx = xs[pos] - fill_coord(0)
+    dy = ys[pos] - fill_coord(1)
+    dz = zs[pos] - fill_coord(2)
     r2 = jnp.float32(radius * radius)
     ok = e_valid & (dx * dx + dy * dy + dz * dz <= r2)
 
