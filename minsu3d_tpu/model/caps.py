@@ -20,6 +20,17 @@ class StaticCaps(NamedTuple):
                                # scatter-min recovers reverse edges)
     edge_factor: int = 0       # ball-query edge-buffer slots per point/unit
                                # (0 = dense fused (n_off, W, N) schedule)
+    shifted_units: bool = False    # build shifted-clustering units from the
+                                   # SHIFTED-coordinate grid (see
+                                   # general_model.make_units_grid)
+    cluster_units_shifted: int = 0  # unit capacity for that grid (trained
+                                    # offsets collapse instances, so ~10x
+                                    # smaller than cluster_units works)
+    xyz_grid_cell: float = 0.0  # >0: original-coordinate clustering units
+                                # from a grid of this cell size (meters)
+                                # instead of the batch's (voxel, class) ids;
+                                # larger cells = fewer units = faster, at
+                                # coarser connectivity granularity
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -41,4 +52,8 @@ class StaticCaps(NamedTuple):
             unit_clustering=caps.get("cluster_granularity", "unit") == "unit",
             half_space=bool(caps.get("bq_half_space", False)),
             edge_factor=int(caps.get("bq_edge_factor", 0)),
+            shifted_units=bool(caps.get("shifted_units", False)),
+            cluster_units_shifted=int(caps.get("cluster_units_shifted", 0))
+            or min(caps.get("cluster_units", 65536), points),
+            xyz_grid_cell=float(caps.get("cluster_cell_xyz", 0.0)),
         )

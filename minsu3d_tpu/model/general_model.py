@@ -81,17 +81,42 @@ def make_units(key_hi: jax.Array, key_lo: jax.Array, active: jax.Array, u_cap: i
     return row2unit, level.n_dropped
 
 
-def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None):
+def make_units_grid(batch_ids: jax.Array, coords: jax.Array, group: jax.Array,
+                    active: jax.Array, u_cap: int, cell_size: float):
+    """(quantized-coordinate cell, group) clustering units.
+
+    Same bounded-error aggregation as the (voxel, class) units, but the cell
+    grid lives in the COORDINATE SPACE BEING CLUSTERED: points sharing a cell
+    are within ``cell_size * sqrt(3)`` of each other in that space by
+    construction. For offset-shifted coordinates this is the tighter
+    invariant — original-space voxel mates can shift apart, while a trained
+    net collapses whole instances into a handful of shifted cells, so the
+    ACTIVE unit count drops ~10x and a much smaller ``u_cap`` suffices
+    (overflow surfaces via the returned drop count -> diag)."""
+    from minsu3d_tpu.ops import hashing as hs
+
+    cell = jnp.clip(jnp.floor(coords / cell_size).astype(jnp.int32) + 512,
+                    0, hs.COORD_MAX - 1)
+    key_hi = (batch_ids.astype(jnp.int32) << 8) | jnp.clip(group.astype(jnp.int32),
+                                                           0, 255)
+    level, row2unit, _ = sparse.build_base(key_hi, cell, active, u_cap)
+    return row2unit, level.n_dropped
+
+
+def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
+                 u_cap: int | None = None):
     """Dispatch point- or unit-granularity clustering per StaticCaps."""
     from minsu3d_tpu.ops.cluster import cluster_points, cluster_units
 
     if unit_id is not None and caps.unit_clustering:
+        if u_cap is None:
+            u_cap = caps.cluster_units
         # units aggregate ~(r/voxel)^3 points, so much smaller K/window suffice
         return cluster_units(coords, batch_ids, active, group, unit_id,
-                             caps.cluster_units, radius, max(caps.neighbors // 2, 8),
+                             u_cap, radius, max(caps.neighbors // 2, 8),
                              max(caps.window // 4, 8), caps.clusters, caps.cc_iters,
                              half_space=caps.half_space,
-                             edge_cap=caps.edge_factor * caps.cluster_units)
+                             edge_cap=caps.edge_factor * u_cap)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
                           half_space=caps.half_space,

@@ -110,6 +110,7 @@ class HAISNet(nn.Module):
     point_num_avg: tuple
     radius_avg: tuple
     caps: StaticCaps
+    voxel_size: float = 0.02
     compute_dtype: str | None = None
     channel_major: bool = False
 
@@ -131,9 +132,17 @@ class HAISNet(nn.Module):
         shifted = batch["point_xyz"] + jax.lax.stop_gradient(out["point_offsets"])
         bids = batch["vert_batch_ids"]
 
-        units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
-        clus = gm.cluster_step(shifted, bids, obj, sem_preds,
-                               self.point_aggr_radius, c, units)
+        if c.shifted_units:
+            units, units_dropped = gm.make_units_grid(
+                bids, shifted, sem_preds, obj, c.cluster_units_shifted, self.voxel_size)
+            clus = gm.cluster_step(shifted, bids, obj, sem_preds,
+                                   self.point_aggr_radius, c, units,
+                                   u_cap=c.cluster_units_shifted)
+        else:
+            units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj,
+                                                 c.cluster_units)
+            clus = gm.cluster_step(shifted, bids, obj, sem_preds,
+                                   self.point_aggr_radius, c, units)
         rows = hierarchical_aggregation(
             clus, shifted, bids, sem_preds, obj,
             jnp.array(self.point_num_avg, jnp.float32),
@@ -142,7 +151,8 @@ class HAISNet(nn.Module):
         out["proposal_rows"] = rows
         out["diag"] = {"units_dropped": units_dropped,
                        "voxels_dropped": gm.plan_dropped(plan),
-                       "edges_dropped": clus.edges_dropped}
+                       "edges_dropped": clus.edges_dropped,
+                       "clusters_dropped": clus.clusters_dropped}
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(
@@ -181,6 +191,7 @@ def make_net(cfg, split: str) -> HAISNet:
         point_num_avg=tuple(cfg.data.point_num_avg),
         radius_avg=tuple(cfg.data.radius_avg),
         caps=StaticCaps.from_cfg(cfg, split),
+        voxel_size=float(cfg.data.voxel_size),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
     )

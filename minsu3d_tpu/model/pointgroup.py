@@ -82,6 +82,7 @@ class PointGroupNet(nn.Module):
     score_scale: float
     score_fullscale: int
     caps: StaticCaps
+    voxel_size: float = 0.02
     compute_dtype: str | None = None
     channel_major: bool = False
 
@@ -102,7 +103,12 @@ class PointGroupNet(nn.Module):
         xyz = batch["point_xyz"]
         shifted = xyz + jax.lax.stop_gradient(out["point_offsets"])
         bids = batch["vert_batch_ids"]
-        units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj, c.cluster_units)
+        if c.xyz_grid_cell > 0:
+            units, units_dropped = gm.make_units_grid(
+                bids, xyz, sem_preds, obj, c.cluster_units, c.xyz_grid_cell)
+        else:
+            units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj,
+                                                 c.cluster_units)
 
         # sequential dual clustering: a combined 2N-unit pass was tried and
         # REVERTED — each merged CC sweep costs 2N, so total work becomes
@@ -110,15 +116,25 @@ class PointGroupNet(nn.Module):
         # original-coordinate graph needs far more sweeps than the shifted one
         # (bench: cluster 1.39s -> 1.73s). See BENCH_NOTES.md.
         clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c, units)
-        clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
-                                     self.cluster_radius, c, units)
+        if c.shifted_units:
+            units_s, us_dropped = gm.make_units_grid(
+                bids, shifted, sem_preds, obj, c.cluster_units_shifted, self.voxel_size)
+            units_dropped = units_dropped + us_dropped
+            clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
+                                         self.cluster_radius, c, units_s,
+                                         u_cap=c.cluster_units_shifted)
+        else:
+            clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
+                                         self.cluster_radius, c, units)
         rows, props_dropped = merge_clusterings(
             [clus, clus_shift], [self.cluster_npoint_thre] * 2, xyz.shape[0], c.proposals)
         out["proposal_rows"] = rows
         out["diag"] = {"units_dropped": units_dropped,
                        "proposals_dropped": props_dropped,
                        "voxels_dropped": gm.plan_dropped(plan),
-                       "edges_dropped": clus.edges_dropped + clus_shift.edges_dropped}
+                       "edges_dropped": clus.edges_dropped + clus_shift.edges_dropped,
+                       "clusters_dropped": clus.clusters_dropped
+                       + clus_shift.clusters_dropped}
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(
@@ -145,6 +161,7 @@ def make_net(cfg, split: str) -> PointGroupNet:
         score_scale=net_cfg.score_scale,
         score_fullscale=net_cfg.score_fullscale,
         caps=StaticCaps.from_cfg(cfg, split),
+        voxel_size=float(cfg.data.voxel_size),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
     )

@@ -78,7 +78,8 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
                          point_mask: jax.Array, fg_class_ids: tuple, score_thr: float,
                          radius: float, npoint_thr: float, point_num_avg: jax.Array,
                          min_npoint: int, max_proposal_num: int, caps: StaticCaps,
-                         p2v: jax.Array, pair_cap: int) -> ProposalRows:
+                         p2v: jax.Array, pair_cap: int,
+                         voxel_size: float = 0.02) -> ProposalRows:
     """Packed soft grouping: ONE clustering over (point, class) pairs.
 
     The reference loops ballquery+BFS once per foreground class
@@ -119,14 +120,20 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
     pbatch = batch_ids[pair_point]
     units = None
     units_dropped = jnp.int32(0)
-    if caps.unit_clustering:
+    u_cap = caps.cluster_units
+    if caps.unit_clustering and caps.shifted_units:
+        # units from the SHIFTED-coordinate grid (general_model.make_units_grid)
+        u_cap = caps.cluster_units_shifted
+        units, units_dropped = gm.make_units_grid(
+            pbatch, pcoords, pair_class, pair_valid, u_cap, voxel_size)
+    elif caps.unit_clustering:
         # voxel id in the UNCLIPPED key_hi slot (make_units packs key_lo into a
         # 10-bit coord field; voxel ids run to the voxel cap >= 49k, so passing
         # them as key_lo collapsed all voxels >= 1023 into one unit per class)
         units, units_dropped = gm.make_units(p2v[pair_point], pair_class,
                                              pair_valid, caps.cluster_units)
     clus = gm.cluster_step(pcoords, pbatch, pair_valid, pair_class,
-                           radius, caps, units)
+                           radius, caps, units, u_cap=u_cap)
 
     # per-cluster class + class-size-relative threshold (bfs_cluster.cpp:56-187)
     c_cap = caps.clusters
@@ -154,7 +161,8 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
         n_proposals=jnp.minimum(jnp.sum(ok.astype(jnp.int32)), limit),
     )
     return rows, {"pairs_dropped": pairs_dropped, "units_dropped": units_dropped,
-                  "edges_dropped": clus.edges_dropped}
+                  "edges_dropped": clus.edges_dropped,
+                  "clusters_dropped": clus.clusters_dropped}
 
 
 def compact_rows(rows: ProposalRows, r_cap: int) -> ProposalRows:
@@ -184,6 +192,7 @@ class SoftGroupNet(nn.Module):
     instance_spatial_shape: int
     point_num_avg: tuple
     caps: StaticCaps
+    voxel_size: float = 0.02
     compute_dtype: str | None = None
     channel_major: bool = False
     packed_grouping: bool = True
@@ -215,7 +224,8 @@ class SoftGroupNet(nn.Module):
                 batch["point_mask"], self.fg_class_ids, self.score_thr, self.radius,
                 self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
                 self.min_npoint, self.max_proposal_num, c, batch["p2v"],
-                pair_cap=2 * batch["point_xyz"].shape[0])
+                pair_cap=2 * batch["point_xyz"].shape[0],
+                voxel_size=self.voxel_size)
         else:
             rows, diag = soft_grouping(
                 jax.lax.stop_gradient(sem_softmax), shifted, batch["vert_batch_ids"],
@@ -265,6 +275,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         instance_spatial_shape=net_cfg.instance_voxel_cfg.spatial_shape,
         point_num_avg=tuple(cfg.data.point_num_avg),
         caps=StaticCaps.from_cfg(cfg, split),
+        voxel_size=float(cfg.data.voxel_size),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),

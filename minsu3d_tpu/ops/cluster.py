@@ -85,25 +85,42 @@ class Clusters(NamedTuple):
     sizes: jax.Array          # (C,) int32
     valid: jax.Array          # (C,) bool
     count: jax.Array          # () int32
-    edges_dropped: jax.Array | int = 0  # ball-query edge-buffer overflow
+    edges_dropped: jax.Array | int = 0    # ball-query edge-buffer overflow
+    clusters_dropped: jax.Array | int = 0  # components beyond the C capacity
 
 
 def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
-    """Renumber CC labels (representative indices) to dense ids [0, C)."""
+    """Renumber CC labels to dense ids [0, C), LARGEST components first.
+
+    Size-priority matters when components overflow ``c_cap``: noise points
+    (e.g. the ~1% of floor misclassified as object classes) form thousands of
+    tiny components, and a min-label-order truncation let them EVICT real
+    object clusters — the round-2 PointGroup synthetic-AP gap traced to
+    exactly this (tools/diag_pointgroup.py). Ties break by representative
+    label (deterministic). Overflow is surfaced in ``clusters_dropped``.
+    """
     n = label.shape[0]
     order = jnp.argsort(jnp.where(active, label, n))
     sl = label[order]
     sa = active[order]
     prev = jnp.concatenate([jnp.full((1,), -1, sl.dtype), sl[:-1]])
     first = (sl != prev) & sa
-    cid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1                # run id per row
     count = jnp.sum(first.astype(jnp.int32))
-    cid_sorted = jnp.where(sa & (cid_sorted < c_cap), cid_sorted, c_cap)
+    seg_c = jnp.where(sa, seg, n)
+    seg_sizes = jnp.zeros((n + 1,), jnp.int32).at[seg_c].add(
+        sa.astype(jnp.int32))[:n]                                # per-run size
+    # rank runs by size desc (stable: ties keep min-representative order)
+    rank_src = jnp.argsort(-seg_sizes, stable=True)
+    rank = jnp.zeros((n,), jnp.int32).at[rank_src].set(jnp.arange(n, dtype=jnp.int32))
+    cid_sorted = jnp.where(sa & (rank[jnp.minimum(seg, n - 1)] < c_cap),
+                           rank[jnp.minimum(seg, n - 1)], c_cap)
     point_cluster = jnp.zeros((n,), jnp.int32).at[order].set(cid_sorted)
     sizes = jnp.zeros((c_cap + 1,), jnp.int32).at[point_cluster].add(
         active.astype(jnp.int32))[:c_cap]
     valid = jnp.arange(c_cap) < jnp.minimum(count, c_cap)
-    return Clusters(point_cluster, sizes, valid, jnp.minimum(count, c_cap))
+    return Clusters(point_cluster, sizes, valid, jnp.minimum(count, c_cap),
+                    clusters_dropped=jnp.maximum(count - c_cap, 0))
 
 
 def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,

@@ -423,3 +423,38 @@ class TestHalfSpaceDenseBlob:
                                      half_space=half, fused=fused)
                 lbl = np.asarray(connected_components(idx, ok, valid))
                 assert len(np.unique(lbl)) == 1, (half, fused)
+
+
+class TestGridUnits:
+    def test_grid_units_match_point_clustering(self):
+        """Units built from the clustering coordinates' own grid
+        (general_model.make_units_grid) must reproduce point-granularity
+        cluster membership on blob scenes — the same invariant the
+        (voxel, class) units satisfy, with the tighter in-metric bound."""
+        from minsu3d_tpu.model import general_model as gm
+        from minsu3d_tpu.ops.cluster import cluster_points, cluster_units
+
+        rng = np.random.default_rng(3)
+        blobs = [c + rng.normal(0, 0.04, (800, 3))
+                 for c in rng.uniform(0.5, 7.5, (6, 3))]
+        pts = jnp.array(np.concatenate(blobs).astype(np.float32))
+        n = pts.shape[0]
+        batch = jnp.zeros(n, jnp.int32)
+        group = jnp.array(np.repeat(np.arange(6) % 3, 800).astype(np.int32))
+        active = jnp.ones(n, bool)
+        r = 0.06
+
+        ref = cluster_points(pts, batch, active, group, r, 16, 16, 64)
+        units, dropped = gm.make_units_grid(batch, pts, group, active, 4096, 0.02)
+        assert int(dropped) == 0
+        got = cluster_units(pts, batch, active, group, units, 4096,
+                            r, 16, 8, 64)
+
+        pr = np.asarray(ref.point_cluster)
+        pg_ = np.asarray(got.point_cluster)
+        assert int(ref.count) == int(got.count)
+        # same partition (ids may differ)
+        import collections
+        m = {}
+        for a, b in zip(pr, pg_):
+            assert m.setdefault(a, b) == b, "partition mismatch"
