@@ -258,8 +258,12 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
 
     coords_s = coords[perm]
     zero1 = jnp.zeros((1,), coords.dtype)
-    xs = jnp.concatenate([coords_s[:, 0], zero1])
-    ys = jnp.concatenate([coords_s[:, 1], zero1])
+    # pack (x, y) into ONE complex64 gather per edge (exact: complex64 is a
+    # pair of f32s; real/imag extraction is lossless) — 2 coordinate gathers
+    # per edge instead of 3
+    cxy = jnp.concatenate([
+        jax.lax.complex(coords_s[:, 0], coords_s[:, 1]),
+        jnp.zeros((1,), jnp.complex64)])
     zs = jnp.concatenate([coords_s[:, 2], zero1])
     perm_ext = jnp.concatenate([perm, jnp.full((1,), n, jnp.int32)])
 
@@ -271,8 +275,9 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         rep = jnp.repeat(qi, n_off)  # run r = p * n_off + o -> qi[p]
         return jax.lax.bitcast_convert_type(fill(rep), jnp.float32)
 
-    dx = xs[pos] - fill_coord(0)
-    dy = ys[pos] - fill_coord(1)
+    cand_xy = cxy[pos]
+    dx = jnp.real(cand_xy) - fill_coord(0)
+    dy = jnp.imag(cand_xy) - fill_coord(1)
     dz = zs[pos] - fill_coord(2)
     r2 = jnp.float32(radius * radius)
     ok = e_valid & (dx * dx + dy * dy + dz * dz <= r2)

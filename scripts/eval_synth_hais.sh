@@ -1,6 +1,8 @@
 #!/bin/bash
 # HAIS golden harness: after train_synth_hais2.sh (100 epochs), this eval must
-# report ~AP 0.885 / AP50 0.923 / mIoU 96.3 (the epoch-100 val numbers).
+# report AP 0.972 / AP50 1.000 / mIoU 96.3 (epoch-100 ckpt; size-ordered
+# cluster compaction fixed round-2's 0.885/0.923 — noise components were
+# evicting kept fragments/primaries at the clusters=512 cap).
 cd /root/repo
 exec python -u test.py model=hais data=synthetic \
   model.ckpt_path=output/Synthetic/HAIS/synth_hais2/training/epoch_100 \

@@ -1,10 +1,12 @@
 #!/bin/bash
 # Golden harness: after the 60+60-epoch run (train_synth_pointgroup.sh then
 # train_synth_pointgroup2.sh), this eval must report
-# AP 0.668 / AP50 0.756 / AP25 0.756 / BBoxAP50 0.756 / mIoU 97.1
+# AP 0.899 / AP50 1.000 / AP25 1.000 / mIoU 97.1
 # (regression oracle for any clustering/engine change — unit tests alone
-# missed a scale-only bug once; round-1 numbers with the 60-epoch recipe were
-# AP 0.427 / AP50 0.577).
+# missed a scale-only bug once. History: round-1 60-epoch recipe gave
+# AP 0.427/0.577; round-2 min-label cluster compaction let noise components
+# evict real clusters -> 0.668/0.756; round-3's size-ordered compaction
+# recovered every instance at AP50=1.0 — see BENCH_NOTES.md round 3).
 cd /root/repo
 exec python -u test.py model=pointgroup data=synthetic \
   model.ckpt_path=output/Synthetic/PointGroup/synth_convergence/training/epoch_120 \

