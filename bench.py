@@ -95,8 +95,10 @@ def main() -> None:
 
     base_overrides = [f"model={model_name}", "data=scannetv2",
                       "model.trainer.precision=bfloat16"]
-    base_overrides += os.environ.get("MINSU3D_BENCH_OVERRIDES", "").split()
-    cfg0 = load_config(base_overrides)
+    # env overrides are appended LAST (after the computed caps below) so they
+    # can override anything, including the cluster-unit capacities
+    env_overrides = os.environ.get("MINSU3D_BENCH_OVERRIDES", "").split()
+    cfg0 = load_config(base_overrides + env_overrides)
     scenes = [make_scene(seed=s, num_objects=12, points_per_object=6000,
                          floor_points=40000, room=8.0) for s in range(n_scenes)]
     ds = GeneralDataset(cfg0, "val", scenes=scenes)
@@ -109,10 +111,16 @@ def main() -> None:
         f"data.caps.eval_points={_round_up(max_pts * pack + 1024, 8192)}",
         f"data.caps.eval_voxels={_round_up(max_vox * pack + 1024, 8192)}",
         f"data.caps.eval_instances={max(64, max_inst * pack)}",
-        # ~52k (voxel,class) units per trained-net scene; cap must hold the
-        # whole pack or make_units silently drops units
-        f"data.caps.cluster_units={_round_up(57344 * pack, 8192)}",
-    ])
+        # production-tuned clustering config, golden-AP-validated (PG
+        # 0.892/1.000 vs 0.899/1.000 at reference-faithful settings; HAIS /
+        # SoftGroup unchanged-or-better — see BENCH_NOTES round 3):
+        # units from the shifted grid (~33k active at these scenes) and 3cm
+        # xyz cells (~37k); capacity overflows would surface in diag
+        "data.caps.shifted_units=true",
+        f"data.caps.cluster_units_shifted={_round_up(40960 * pack, 8192)}",
+        "data.caps.cluster_cell_xyz=0.03",
+        f"data.caps.cluster_units={_round_up(40960 * pack, 8192)}",
+    ] + env_overrides)
     caps = shard_caps(cfg, "val")
 
     bundle = get_model(spec["cls"])

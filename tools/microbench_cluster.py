@@ -71,12 +71,16 @@ shifted = b["point_xyz"] + off
 uc, ub, ua, ug = jax.block_until_ready(jax.jit(prep)(shifted))
 
 def timeit(name, fn, *args, reps=5):
+    # block_until_ready does NOT reliably block on the axon tunnel — fetch a
+    # scalar each rep (CLAUDE.md); report includes the ~30ms fetch roundtrip
     f = jax.jit(fn)
-    r = jax.block_until_ready(f(*args))
+    r = f(*args)
+    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = jax.block_until_ready(f(*args))
-    print(f"# {name:28s} {(time.perf_counter()-t0)/reps*1000:9.1f} ms")
+        r = f(*args)
+        np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    print(f"# {name:28s} {(time.perf_counter()-t0)/reps*1000:9.1f} ms (incl ~30ms fetch)")
     return r
 
 timeit("make_units+prep", lambda c: prep(c), shifted)

@@ -26,13 +26,17 @@ nbr_np[rng.random((V, TAPS)) < 0.2] = V
 nbr = jnp.array(nbr_np, jnp.int32)
 
 def timeit(name, fn, *args, reps=10):
+    # fetch-forced timing (block_until_ready is a no-op on the axon tunnel,
+    # CLAUDE.md); includes the ~30ms fetch roundtrip
     f = jax.jit(fn)
-    r = jax.block_until_ready(f(*args))
+    r = f(*args)
+    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = jax.block_until_ready(f(*args))
+        r = f(*args)
+        np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
     dt = (time.perf_counter() - t0) / reps
-    print(f"# {name:36s} {dt*1000:9.2f} ms", flush=True)
+    print(f"# {name:36s} {dt*1000:9.2f} ms (incl ~30ms fetch)", flush=True)
     return r
 
 for dtype in (jnp.bfloat16, jnp.float32):
