@@ -45,20 +45,34 @@ PEAK_BF16_FLOPS = 197e12   # TPU v5e MXU peak (bf16)
 PEAK_HBM_BPS = 819e9       # TPU v5e HBM bandwidth
 
 # per-model: reference latency anchor (README.md:214-216, RTX 2080 Ti),
-# config group, registry class, trained-checkpoint candidates
+# config group, registry class, trained-checkpoint candidates, and
+# golden-AP-validated clustering overrides (K=16 neighbors and the edge-buffer
+# factors change clustering semantics, so each value here was re-validated on
+# the synthetic golden evals — BENCH_NOTES round 3: PG 0.892/1.000, HAIS
+# 0.976/1.000, SoftGroup 0.920/0.949, all within noise of the
+# reference-faithful settings). SoftGroup clusters (point, class) PAIRS, whose
+# candidate runs are ~2x denser than PG/HAIS's shifted grid units — factor 28
+# overflowed its edge buffer (109k edges dropped, -0.18 mAP), hence 56.
 MODELS = {
     "pointgroup": {
         "baseline_ms": 176.0, "cls": "PointGroup",
         "ckpts": ["output/Synthetic/PointGroup/synth_convergence/training/epoch_120",
                   "output/Synthetic/PointGroup/synth_convergence/training/epoch_100"],
+        "cluster_overrides": ["data.caps.neighbors=16",
+                              "data.caps.bq_edge_factor=28",
+                              "data.caps.bq_edge_factor_xyz=8"],
     },
     "hais": {
         "baseline_ms": 165.0, "cls": "HAIS",
         "ckpts": ["output/Synthetic/HAIS/synth_hais2/training/epoch_100"],
+        "cluster_overrides": ["data.caps.neighbors=16",
+                              "data.caps.bq_edge_factor=28"],
     },
     "softgroup": {
         "baseline_ms": 204.0, "cls": "SoftGroup",
         "ckpts": ["output/Synthetic/SoftGroup/synth_softgroup/training/epoch_100"],
+        "cluster_overrides": ["data.caps.neighbors=16",
+                              "data.caps.bq_edge_factor=56"],
     },
 }
 
@@ -120,7 +134,11 @@ def main() -> None:
         f"data.caps.cluster_units_shifted={_round_up(40960 * pack, 8192)}",
         "data.caps.cluster_cell_xyz=0.03",
         f"data.caps.cluster_units={_round_up(40960 * pack, 8192)}",
-    ] + env_overrides)
+        # edge-buffer caps sized from measured candidate totals at these caps
+        # (tools/probe_edge_total.py: xyz <=178k, shifted <=781k edges over 8
+        # scenes; 1.5-1.8x margin, overflow degrades gracefully + surfaces in
+        # diag/edges_dropped and the overflow probe below)
+    ] + spec["cluster_overrides"] + env_overrides)
     caps = shard_caps(cfg, "val")
 
     bundle = get_model(spec["cls"])
@@ -161,6 +179,21 @@ def main() -> None:
         out = net.apply(variables, batch, False, True, **f_flags)
         return out["semantic_scores"], out["proposal_rows"]
 
+    # capacity sanity: one forward returning the diag counters — a silently
+    # overflowing edge buffer / unit cap degrades ACCURACY, not speed, so the
+    # bench must not report a throughput won by dropping work (the SoftGroup
+    # golden run lost 0.18 mAP to exactly this before the per-model factors)
+    @jax.jit
+    def fwd_diag(variables, batch):
+        return net.apply(variables, batch, False, True, **f_flags).get("diag", {})
+
+    overflow = {k: float(np.asarray(v).max()) for b in batches
+                for k, v in fwd_diag(variables, b).items()
+                if float(np.asarray(v).max()) > 0}
+    if overflow:
+        print(f"# WARNING capacity overflow at bench caps: {overflow}",
+              file=sys.stderr)
+
     # warm-up (compile)
     jax.block_until_ready(fwd(variables, batches[0]))
 
@@ -180,6 +213,8 @@ def main() -> None:
         "vs_baseline": round(scenes_per_sec * spec["baseline_ms"] / 1000.0, 3),
         "timing": "device_compute",
     }
+    if overflow:
+        result["overflow"] = overflow
 
     if os.environ.get("MINSU3D_BENCH_PIPELINE"):
         # steady-state with the host input pipeline in the loop: re-collate

@@ -31,6 +31,14 @@ class StaticCaps(NamedTuple):
                                 # instead of the batch's (voxel, class) ids;
                                 # larger cells = fewer units = faster, at
                                 # coarser connectivity granularity
+    edge_factor_xyz: int = 0    # edge-buffer slots per unit for the ORIGINAL-
+                                # coordinate clustering (0 = edge_factor).
+                                # xyz grid units are one-per-(cell,class), so
+                                # candidate runs are ~1-2 long and the real
+                                # edge need is ~5x lower than the shifted
+                                # grid's (measured: ~178k vs ~781k edges at
+                                # 40960 units; tools/probe_edge_total.py) —
+                                # every edge-buffer op scales with this cap
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -56,4 +64,5 @@ class StaticCaps(NamedTuple):
             cluster_units_shifted=int(caps.get("cluster_units_shifted", 0))
             or min(caps.get("cluster_units", 65536), points),
             xyz_grid_cell=float(caps.get("cluster_cell_xyz", 0.0)),
+            edge_factor_xyz=int(caps.get("bq_edge_factor_xyz", 0)),
         )

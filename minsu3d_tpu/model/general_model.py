@@ -104,10 +104,15 @@ def make_units_grid(batch_ids: jax.Array, coords: jax.Array, group: jax.Array,
 
 
 def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
-                 u_cap: int | None = None):
-    """Dispatch point- or unit-granularity clustering per StaticCaps."""
+                 u_cap: int | None = None, edge_factor: int | None = None):
+    """Dispatch point- or unit-granularity clustering per StaticCaps.
+
+    ``edge_factor`` overrides ``caps.edge_factor`` (edge-buffer slots per
+    point/unit) for this clustering — the original-coordinate grid needs far
+    fewer slots than the shifted grid (see StaticCaps.edge_factor_xyz)."""
     from minsu3d_tpu.ops.cluster import cluster_points, cluster_units
 
+    ef = caps.edge_factor if edge_factor is None else edge_factor
     if unit_id is not None and caps.unit_clustering:
         if u_cap is None:
             u_cap = caps.cluster_units
@@ -116,11 +121,11 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
                              u_cap, radius, max(caps.neighbors // 2, 8),
                              max(caps.window // 4, 8), caps.clusters, caps.cc_iters,
                              half_space=caps.half_space,
-                             edge_cap=caps.edge_factor * u_cap)
+                             edge_cap=ef * u_cap)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
                           half_space=caps.half_space,
-                          edge_cap=caps.edge_factor * coords.shape[0])
+                          edge_cap=ef * coords.shape[0])
 
 
 def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:

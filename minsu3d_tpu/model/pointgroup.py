@@ -115,7 +115,8 @@ class PointGroupNet(nn.Module):
         # 2N*max(s_xyz, s_shift) vs N*(s_xyz+s_shift), a net loss because the
         # original-coordinate graph needs far more sweeps than the shifted one
         # (bench: cluster 1.39s -> 1.73s). See BENCH_NOTES.md.
-        clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c, units)
+        clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c,
+                               units, edge_factor=c.edge_factor_xyz or None)
         if c.shifted_units:
             units_s, us_dropped = gm.make_units_grid(
                 bids, shifted, sem_preds, obj, c.cluster_units_shifted, self.voxel_size)
