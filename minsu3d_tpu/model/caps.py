@@ -39,6 +39,11 @@ class StaticCaps(NamedTuple):
                                 # grid's (measured: ~178k vs ~781k edges at
                                 # 40960 units; tools/probe_edge_total.py) —
                                 # every edge-buffer op scales with this cap
+    shifted_grid_cell: float = 0.0  # >0: cell size for the SHIFTED-grid
+                                    # units (0 = data.voxel_size). Setting it
+                                    # EQUAL to the cluster radius puts the
+                                    # shifted clustering on cluster_step's
+                                    # W=1 fast path (<= 1 unit per hash cell)
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -65,4 +70,5 @@ class StaticCaps(NamedTuple):
             or min(caps.get("cluster_units", 65536), points),
             xyz_grid_cell=float(caps.get("cluster_cell_xyz", 0.0)),
             edge_factor_xyz=int(caps.get("bq_edge_factor_xyz", 0)),
+            shifted_grid_cell=float(caps.get("cluster_cell_shifted", 0.0)),
         )

@@ -104,24 +104,35 @@ def make_units_grid(batch_ids: jax.Array, coords: jax.Array, group: jax.Array,
 
 
 def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
-                 u_cap: int | None = None, edge_factor: int | None = None):
+                 u_cap: int | None = None, edge_factor: int | None = None,
+                 grid_cell: float = 0.0):
     """Dispatch point- or unit-granularity clustering per StaticCaps.
 
     ``edge_factor`` overrides ``caps.edge_factor`` (edge-buffer slots per
     point/unit) for this clustering — the original-coordinate grid needs far
-    fewer slots than the shifted grid (see StaticCaps.edge_factor_xyz)."""
+    fewer slots than the shifted grid (see StaticCaps.edge_factor_xyz).
+
+    ``grid_cell`` declares that ``unit_id`` came from make_units_grid with
+    this cell size. When it EQUALS the query radius, every ball-query hash
+    cell holds at most ONE unit per (batch, group) — a unit's centroid stays
+    inside its own cell — so candidate runs have length <= 1 and the fused
+    W=1 schedule replaces the whole edge-buffer machinery (no run scans, no
+    re-interleave sort, nothing ever dropped). Bit-identical to the edge path
+    (tests/test_cluster.py::test_window1_matches_edge)."""
     from minsu3d_tpu.ops.cluster import cluster_points, cluster_units
 
     ef = caps.edge_factor if edge_factor is None else edge_factor
     if unit_id is not None and caps.unit_clustering:
         if u_cap is None:
             u_cap = caps.cluster_units
+        single_unit_cells = grid_cell > 0 and abs(grid_cell - radius) < 1e-9
         # units aggregate ~(r/voxel)^3 points, so much smaller K/window suffice
         return cluster_units(coords, batch_ids, active, group, unit_id,
                              u_cap, radius, max(caps.neighbors // 2, 8),
-                             max(caps.window // 4, 8), caps.clusters, caps.cc_iters,
+                             1 if single_unit_cells else max(caps.window // 4, 8),
+                             caps.clusters, caps.cc_iters,
                              half_space=caps.half_space,
-                             edge_cap=ef * u_cap)
+                             edge_cap=0 if single_unit_cells else ef * u_cap)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
                           half_space=caps.half_space,

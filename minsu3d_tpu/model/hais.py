@@ -133,11 +133,13 @@ class HAISNet(nn.Module):
         bids = batch["vert_batch_ids"]
 
         if c.shifted_units:
+            s_cell = c.shifted_grid_cell or self.voxel_size
             units, units_dropped = gm.make_units_grid(
-                bids, shifted, sem_preds, obj, c.cluster_units_shifted, self.voxel_size)
+                bids, shifted, sem_preds, obj, c.cluster_units_shifted, s_cell)
             clus = gm.cluster_step(shifted, bids, obj, sem_preds,
                                    self.point_aggr_radius, c, units,
-                                   u_cap=c.cluster_units_shifted)
+                                   u_cap=c.cluster_units_shifted,
+                                   grid_cell=s_cell)
         else:
             units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj,
                                                  c.cluster_units)

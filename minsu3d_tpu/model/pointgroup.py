@@ -110,20 +110,25 @@ class PointGroupNet(nn.Module):
             units, units_dropped = gm.make_units(batch["p2v"], sem_preds, obj,
                                                  c.cluster_units)
 
-        # sequential dual clustering: a combined 2N-unit pass was tried and
-        # REVERTED — each merged CC sweep costs 2N, so total work becomes
-        # 2N*max(s_xyz, s_shift) vs N*(s_xyz+s_shift), a net loss because the
-        # original-coordinate graph needs far more sweeps than the shifted one
-        # (bench: cluster 1.39s -> 1.73s). See BENCH_NOTES.md.
-        clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius, c,
-                               units, edge_factor=c.edge_factor_xyz or None)
+        # sequential dual clustering. Two merge attempts were measured and
+        # REVERTED (BENCH_NOTES): a combined 2N-unit CC (each merged sweep
+        # costs 2N for max(s_xyz, s_shift) rounds — net loss) and a shared
+        # ball-query pass (sort cost is superlinear in buffer length, the
+        # run-bound machinery linear in units — nothing amortizes; 2.118 ->
+        # 2.105 scenes/s). grid_cell lets cluster_step take the W=1 fast path
+        # when the unit grid matches the query radius.
+        clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius,
+                               c, units, edge_factor=c.edge_factor_xyz or None,
+                               grid_cell=c.xyz_grid_cell)
         if c.shifted_units:
+            s_cell = c.shifted_grid_cell or self.voxel_size
             units_s, us_dropped = gm.make_units_grid(
-                bids, shifted, sem_preds, obj, c.cluster_units_shifted, self.voxel_size)
+                bids, shifted, sem_preds, obj, c.cluster_units_shifted, s_cell)
             units_dropped = units_dropped + us_dropped
             clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
                                          self.cluster_radius, c, units_s,
-                                         u_cap=c.cluster_units_shifted)
+                                         u_cap=c.cluster_units_shifted,
+                                         grid_cell=s_cell)
         else:
             clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
                                          self.cluster_radius, c, units)

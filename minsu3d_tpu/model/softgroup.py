@@ -121,11 +121,13 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
     units = None
     units_dropped = jnp.int32(0)
     u_cap = caps.cluster_units
+    s_cell = 0.0
     if caps.unit_clustering and caps.shifted_units:
         # units from the SHIFTED-coordinate grid (general_model.make_units_grid)
         u_cap = caps.cluster_units_shifted
+        s_cell = caps.shifted_grid_cell or voxel_size
         units, units_dropped = gm.make_units_grid(
-            pbatch, pcoords, pair_class, pair_valid, u_cap, voxel_size)
+            pbatch, pcoords, pair_class, pair_valid, u_cap, s_cell)
     elif caps.unit_clustering:
         # voxel id in the UNCLIPPED key_hi slot (make_units packs key_lo into a
         # 10-bit coord field; voxel ids run to the voxel cap >= 49k, so passing
@@ -133,7 +135,7 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
         units, units_dropped = gm.make_units(p2v[pair_point], pair_class,
                                              pair_valid, caps.cluster_units)
     clus = gm.cluster_step(pcoords, pbatch, pair_valid, pair_class,
-                           radius, caps, units, u_cap=u_cap)
+                           radius, caps, units, u_cap=u_cap, grid_cell=s_cell)
 
     # per-cluster class + class-size-relative threshold (bfs_cluster.cpp:56-187)
     c_cap = caps.clusters

@@ -142,6 +142,73 @@ def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
     return compact_labels(label, active, c_cap)._replace(edges_dropped=dropped)
 
 
+def _unit_table(coords: jax.Array, batch: jax.Array, active: jax.Array,
+                group: jax.Array | None, unit_id: jax.Array, u_cap: int):
+    """Aggregate points into their units: mean coords + batch/group/active.
+
+    Returns (u_coords (U,3), u_batch (U,), u_active (U,), u_group (U,)|None,
+    uid (N,) clipped per-point unit id with u_cap = inactive,
+    u_counts (U,) int32 member point counts)."""
+    uid = jnp.where(active & (unit_id < u_cap), unit_id, u_cap)
+    w = (uid < u_cap).astype(jnp.float32)
+
+    csum = jnp.zeros((u_cap + 1, 3), jnp.float32).at[uid].add(coords * w[:, None])
+    cnt = jnp.zeros((u_cap + 1,), jnp.float32).at[uid].add(w)
+    u_coords = (csum / jnp.maximum(cnt, 1.0)[:, None])[:u_cap]
+    u_active = cnt[:u_cap] > 0
+    u_batch = jnp.full((u_cap + 1,), -1, jnp.int32).at[uid].max(
+        jnp.where(uid < u_cap, batch, -1))[:u_cap]
+    u_group = None
+    if group is not None:
+        u_group = jnp.full((u_cap + 1,), -1, group.dtype).at[uid].max(
+            jnp.where(uid < u_cap, group, -1))[:u_cap]
+    return u_coords, u_batch, u_active, u_group, uid, cnt[:u_cap].astype(jnp.int32)
+
+
+def _unit_points_compact(u_label: jax.Array, uid: jax.Array, u_cap: int,
+                         n_points: int, c_cap: int,
+                         u_counts: jax.Array | None = None) -> Clusters:
+    """Map unit labels back to points and compact (cluster_units tail).
+
+    With ``u_counts`` (per-unit member point counts), compaction runs at UNIT
+    granularity: the two argsorts operate on U instead of N rows (U is 3-4x
+    smaller at production caps) and points only pay one final cid gather.
+    Bit-identical to compacting the expanded per-point labels: runs appear in
+    the same ascending-label order, sizes are the same point counts, and the
+    stable size-rank therefore assigns identical cluster ids
+    (tests/test_cluster.py::test_unit_compaction_matches_point).
+    """
+    if u_counts is None:
+        ext = jnp.concatenate([u_label, jnp.full((1,), n_points, jnp.int32)])
+        point_label = jnp.where(uid < u_cap, ext[jnp.minimum(uid, u_cap)], n_points)
+        return compact_labels(point_label, uid < u_cap, c_cap)
+
+    u = u_label.shape[0]
+    u_active = u_label < u
+    order = jnp.argsort(jnp.where(u_active, u_label, u))
+    sl = u_label[order]
+    sa = u_active[order]
+    cnt_s = u_counts[order]
+    prev = jnp.concatenate([jnp.full((1,), -1, sl.dtype), sl[:-1]])
+    first = (sl != prev) & sa
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    count = jnp.sum(first.astype(jnp.int32))
+    seg_c = jnp.where(sa, seg, u)
+    seg_sizes = jnp.zeros((u + 1,), jnp.int32).at[seg_c].add(
+        jnp.where(sa, cnt_s, 0))[:u]                  # per-component POINT count
+    rank_src = jnp.argsort(-seg_sizes, stable=True)
+    rank = jnp.zeros((u,), jnp.int32).at[rank_src].set(jnp.arange(u, dtype=jnp.int32))
+    cid_sorted = jnp.where(sa & (rank[jnp.minimum(seg, u - 1)] < c_cap),
+                           rank[jnp.minimum(seg, u - 1)], c_cap)
+    unit_cid = jnp.full((u,), c_cap, jnp.int32).at[order].set(cid_sorted)
+    cid_ext = jnp.concatenate([unit_cid, jnp.full((1,), c_cap, jnp.int32)])
+    point_cluster = jnp.where(uid < u_cap, cid_ext[jnp.minimum(uid, u_cap)], c_cap)
+    sizes = jnp.zeros((c_cap + 1,), jnp.int32).at[unit_cid].add(u_counts)[:c_cap]
+    valid = jnp.arange(c_cap) < jnp.minimum(count, c_cap)
+    return Clusters(point_cluster, sizes, valid, jnp.minimum(count, c_cap),
+                    clusters_dropped=jnp.maximum(count - c_cap, 0))
+
+
 def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                   group: jax.Array | None, unit_id: jax.Array, u_cap: int,
                   radius: float, k: int, window: int, c_cap: int,
@@ -157,19 +224,8 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
     member points. Cluster sizes are counted in POINTS (the reference's
     npoint thresholds apply unchanged). Returns per-POINT Clusters.
     """
-    uid = jnp.where(active & (unit_id < u_cap), unit_id, u_cap)
-    w = (uid < u_cap).astype(jnp.float32)
-
-    csum = jnp.zeros((u_cap + 1, 3), jnp.float32).at[uid].add(coords * w[:, None])
-    cnt = jnp.zeros((u_cap + 1,), jnp.float32).at[uid].add(w)
-    u_coords = (csum / jnp.maximum(cnt, 1.0)[:, None])[:u_cap]
-    u_active = cnt[:u_cap] > 0
-    u_batch = jnp.full((u_cap + 1,), -1, jnp.int32).at[uid].max(
-        jnp.where(uid < u_cap, batch, -1))[:u_cap]
-    u_group = None
-    if group is not None:
-        u_group = jnp.full((u_cap + 1,), -1, group.dtype).at[uid].max(
-            jnp.where(uid < u_cap, group, -1))[:u_cap]
+    u_coords, u_batch, u_active, u_group, uid, u_counts = _unit_table(
+        coords, batch, active, group, unit_id, u_cap)
 
     from minsu3d_tpu.ops.ballquery import ball_query, ball_query_edge
 
@@ -187,9 +243,7 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
         dropped = jnp.int32(0)
     u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters)
 
-    u_label_ext = jnp.concatenate([u_label, jnp.full((1,), coords.shape[0], jnp.int32)])
-    point_label = jnp.where(uid < u_cap, u_label_ext[jnp.minimum(uid, u_cap)],
-                            coords.shape[0])
     # unit labels are unit indices; offset into a point-label namespace is not
     # needed — compact_labels only requires distinct ids per cluster
-    return compact_labels(point_label, uid < u_cap, c_cap)._replace(edges_dropped=dropped)
+    return _unit_points_compact(u_label, uid, u_cap, coords.shape[0], c_cap,
+                                u_counts=u_counts)._replace(edges_dropped=dropped)

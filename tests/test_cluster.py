@@ -313,6 +313,80 @@ class TestUnitClustering:
             members = np.flatnonzero(got == lab)
             assert len(np.unique(ref[members])) == 1
 
+    def test_window1_matches_edge(self):
+        """Grid units whose cell size EQUALS the query radius have <= 1 unit
+        per (batch, group, hash cell), so the fused W=1 schedule must give
+        bit-identical clusters to the edge-buffer path (the cluster_step fast
+        path; see general_model.py::cluster_step)."""
+        from minsu3d_tpu.model.general_model import make_units_grid
+        from minsu3d_tpu.ops.cluster import cluster_units
+
+        rng = np.random.default_rng(11)
+        blobs = 6
+        pts = np.concatenate([c + rng.normal(0, 0.03, (200, 3))
+                              for c in rng.uniform(0, 3, (blobs, 3))]).astype(np.float32)
+        n = len(pts)
+        batch = jnp.array(rng.integers(0, 2, n), jnp.int32)
+        valid = jnp.array(rng.random(n) > 0.05)
+        group = jnp.array(rng.integers(0, 3, n), jnp.int32)
+
+        cap, r = 768, 0.06
+        units, _ = make_units_grid(batch, jnp.array(pts), group, valid, cap, r)
+
+        for k in (4, 8):  # k=4 exercises the K-cap ordering agreement
+            edge = cluster_units(jnp.array(pts), batch, valid, group, units,
+                                 cap, r, k, 8, 64, 64, half_space=True,
+                                 edge_cap=16 * cap)
+            w1 = cluster_units(jnp.array(pts), batch, valid, group, units,
+                               cap, r, k, 1, 64, 64, half_space=True,
+                               edge_cap=0)
+            np.testing.assert_array_equal(np.asarray(edge.point_cluster),
+                                          np.asarray(w1.point_cluster))
+            np.testing.assert_array_equal(np.asarray(edge.sizes),
+                                          np.asarray(w1.sizes))
+            assert int(edge.count) == int(w1.count)
+            assert int(edge.edges_dropped) == 0
+
+    def test_unit_compaction_matches_point(self):
+        """Unit-granularity compaction (argsort over U rows + point-count
+        sizes) must assign the exact cluster ids the point-expanded
+        compact_labels path does — same run order, same sizes, same stable
+        size-rank (ops/cluster.py::_unit_points_compact)."""
+        from minsu3d_tpu.ops.cluster import (Clusters, _unit_points_compact,
+                                             _unit_table, compact_labels,
+                                             connected_components)
+        from minsu3d_tpu.ops.ballquery import ball_query
+
+        rng = np.random.default_rng(23)
+        blobs = 8
+        pts = np.concatenate([c + rng.normal(0, 0.03, (120, 3))
+                              for c in rng.uniform(0, 3, (blobs, 3))]).astype(np.float32)
+        n = len(pts)
+        batch = jnp.array(rng.integers(0, 2, n), jnp.int32)
+        valid = jnp.array(rng.random(n) > 0.1)
+        group = jnp.array(rng.integers(0, 3, n), jnp.int32)
+        vox = np.floor(pts / 0.02).astype(np.int32)
+        vox -= vox.min(0)
+        key = (vox[:, 0].astype(np.int64) * 4096 + vox[:, 1]) * 4096 + vox[:, 2]
+        _, p2v = np.unique(key, return_inverse=True)
+        unit_id = jnp.array(p2v.astype(np.int32))
+
+        u_cap, c_cap = 700, 8  # c_cap=8 << components: exercises eviction ties
+        u_coords, u_batch, u_active, u_group, uid, u_counts = _unit_table(
+            jnp.array(pts), batch, valid, group, unit_id, u_cap)
+        nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, 0.06, 8, 16,
+                                        group=u_group)
+        u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, 64)
+
+        fast = _unit_points_compact(u_label, uid, u_cap, n, c_cap, u_counts=u_counts)
+        slow = _unit_points_compact(u_label, uid, u_cap, n, c_cap)  # point path
+        np.testing.assert_array_equal(np.asarray(fast.point_cluster),
+                                      np.asarray(slow.point_cluster))
+        np.testing.assert_array_equal(np.asarray(fast.sizes), np.asarray(slow.sizes))
+        np.testing.assert_array_equal(np.asarray(fast.valid), np.asarray(slow.valid))
+        assert int(fast.count) == int(slow.count)
+        assert int(fast.clusters_dropped) == int(slow.clusters_dropped) > 0
+
     def test_unit_sizes_count_points(self):
         from minsu3d_tpu.ops.cluster import cluster_units
 

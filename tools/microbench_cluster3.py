@@ -30,7 +30,11 @@ cfg = load_config(["model=pointgroup", "data=scannetv2",
     "data.caps.shifted_units=true",
     "data.caps.cluster_units_shifted=40960",
     "data.caps.cluster_cell_xyz=0.03",
-    "data.caps.cluster_units=40960"])
+    "data.caps.cluster_units=40960",
+    # production-tuned round-3 defaults (bench.py MODELS cluster_overrides)
+    "data.caps.neighbors=16",
+    "data.caps.bq_edge_factor=28",
+    "data.caps.bq_edge_factor_xyz=8"])
 scenes = [make_scene(seed=0, num_objects=12, points_per_object=6000,
                      floor_points=40000, room=8.0)]
 ds = GeneralDataset(cfg, "val", scenes=scenes)
@@ -92,10 +96,10 @@ def agg(coords, uid_in, *, cap):
         jnp.where(uid < cap, sem_preds, -1))[:cap]
     return u_coords, u_batch, u_active, u_group, uid
 
-def f_bq(u):
+def f_bq(u, *, ef=None):
     u_coords, u_batch, u_active, u_group, _ = u
     return ball_query_edge(u_coords, u_batch, u_active, radius, K, W,
-                           scaps.edge_factor * u_coords.shape[0],
+                           (ef or scaps.edge_factor) * u_coords.shape[0],
                            half_space=scaps.half_space, group=u_group)
 
 def f_cc(u, nbr):
@@ -130,7 +134,8 @@ u1 = timeit("unit agg xyz", functools.partial(agg, cap=u_cap), xyz, units_xyz)
 u2 = timeit("unit agg shifted",
             functools.partial(agg, cap=scaps.cluster_units_shifted), shifted, units_sh)
 print("# active units xyz:", int(jnp.sum(u1[2])), "shifted:", int(jnp.sum(u2[2])))
-nbr1 = timeit("ball_query_edge xyz", f_bq, u1)
+nbr1 = timeit("ball_query_edge xyz", functools.partial(
+    f_bq, ef=scaps.edge_factor_xyz or None), u1)
 nbr2 = timeit("ball_query_edge shifted", f_bq, u2)
 print("# edges_dropped:", int(nbr1[2]), int(nbr2[2]),
       "valid nbrs/unit:", float(jnp.sum(nbr1[1])) / max(1, int(jnp.sum(u1[2]))),
