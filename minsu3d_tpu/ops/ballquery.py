@@ -102,20 +102,27 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         # arrays for the same reason.
         _, _, ends = hs.lookup_sorted_union(s_hi, s_lo, q_hi.reshape(-1), q_lo.reshape(-1))
         ends = ends.reshape(n_off, n)
+        # candidate fetch: ONE channel-major (4, V+1) column gather fetches
+        # x/y/z/original-index together (~1 index cost for 4 channels vs 4
+        # separate 1-D gathers; tools/microbench_fill.py). Coords ride as
+        # int32 bit patterns — the bitcast round-trip is lossless.
+        bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        bf = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         coords_s = coords[perm]
-        zero1 = jnp.zeros((1,), coords.dtype)
-        xs = jnp.concatenate([coords_s[:, 0], zero1])
-        ys = jnp.concatenate([coords_s[:, 1], zero1])
-        zs = jnp.concatenate([coords_s[:, 2], zero1])
+        cand_tbl = jnp.concatenate([
+            jnp.stack([bi(coords_s[:, 0]), bi(coords_s[:, 1]),
+                       bi(coords_s[:, 2]), perm], 0),
+            jnp.array([[0], [0], [0], [n]], jnp.int32)], axis=1)
 
         pos = starts[:, None, :] + jnp.arange(window, dtype=jnp.int32)[None, :, None]
         pos_c = jnp.minimum(pos, n)                              # (n_off, W, N)
         slot = (pos < ends[:, None, :]) & in_rng[:, None, :]
-        dx = xs[pos_c] - coords[None, None, :, 0]
-        dy = ys[pos_c] - coords[None, None, :, 1]
-        dz = zs[pos_c] - coords[None, None, :, 2]
+        cg = cand_tbl[:, pos_c]                                  # (4, n_off, W, N)
+        dx = bf(cg[0]) - coords[None, None, :, 0]
+        dy = bf(cg[1]) - coords[None, None, :, 1]
+        dz = bf(cg[2]) - coords[None, None, :, 2]
         ok = slot & (dx * dx + dy * dy + dz * dz <= r2)
-        cand = jnp.where(ok, perm_ext[pos_c], n)                 # (n_off, W, N)
+        cand = jnp.where(ok, cg[3], n)                           # (n_off, W, N)
 
         # per-point slot assignment, WINDOW-POSITION-MAJOR (w0 of every
         # offset before any w1): K then takes >=1 candidate from every
@@ -129,9 +136,11 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
         store = ok_t & (col < k)
         col_c = jnp.where(store, col, k)                        # k = dropped
         rows = jnp.broadcast_to(jnp.arange(n)[:, None], col_c.shape)
-        nbr_idx = jnp.zeros((n, k), jnp.int32).at[rows, col_c].set(cand_t, mode="drop")
-        nbr_valid = jnp.zeros((n, k), bool).at[rows, col_c].set(store, mode="drop")
-        return jnp.where(nbr_valid, nbr_idx, n), nbr_valid
+        # ONE scatter (validity = idx < n; see ball_query_edge)
+        tbl = jnp.full((n, k + 1), n, jnp.int32).at[rows, col_c].set(
+            jnp.where(store, cand_t, n), mode="drop")
+        nbr_idx = tbl[:, :k]
+        return nbr_idx, nbr_idx < n
 
     nbr_idx = jnp.zeros((n, k), jnp.int32)
     nbr_valid = jnp.zeros((n, k), bool)
@@ -256,29 +265,27 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     p_e = run // n_off                                         # query point
     o_e = run - p_e * n_off
 
+    # candidate fetch: ONE channel-major (4, V+1) column gather per edge
+    # fetches x/y/z/original-index together. A column gather costs ~the same
+    # as a 1-D gather PER INDEX (measured 7.9 ms vs 28.5 ms for the old
+    # complex64-packed 2-gather fetch at E=1.15M; tools/microbench_fill.py),
+    # so packing channels amortizes it 4x. Coords ride as int32 bit patterns
+    # (bitcast round-trip is lossless) so the table is one dtype.
+    bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    bf = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     coords_s = coords[perm]
-    zero1 = jnp.zeros((1,), coords.dtype)
-    # pack (x, y) into ONE complex64 gather per edge (exact: complex64 is a
-    # pair of f32s; real/imag extraction is lossless) — 2 coordinate gathers
-    # per edge instead of 3
-    cxy = jnp.concatenate([
-        jax.lax.complex(coords_s[:, 0], coords_s[:, 1]),
-        jnp.zeros((1,), jnp.complex64)])
-    zs = jnp.concatenate([coords_s[:, 2], zero1])
-    perm_ext = jnp.concatenate([perm, jnp.full((1,), n, jnp.int32)])
+    cand_tbl = jnp.concatenate([
+        jnp.stack([bi(coords_s[:, 0]), bi(coords_s[:, 1]),
+                   bi(coords_s[:, 2]), perm], 0),
+        jnp.array([[0], [0], [0], [n]], jnp.int32)], axis=1)   # (4, V+1)
+    cg = cand_tbl[:, pos]                                      # (4, E)
 
-    # query coords, bit-exactly, by the same delta fill on repeated per-run
-    # values (f32 bitcast to int32; integer deltas reconstruct the exact
-    # bit pattern, so the distance test matches the fused path bit-for-bit)
-    def fill_coord(col):
-        qi = jax.lax.bitcast_convert_type(coords[:, col], jnp.int32)
-        rep = jnp.repeat(qi, n_off)  # run r = p * n_off + o -> qi[p]
-        return jax.lax.bitcast_convert_type(fill(rep), jnp.float32)
-
-    cand_xy = cxy[pos]
-    dx = jnp.real(cand_xy) - fill_coord(0)
-    dy = jnp.imag(cand_xy) - fill_coord(1)
-    dz = zs[pos] - fill_coord(2)
+    # query fetch: same trick at p_e (replaces three delta-fill
+    # reconstructions; values are the identical f32 bit patterns)
+    qg = bi(coords).T[:, p_e]                                  # (3, E)
+    dx = bf(cg[0]) - bf(qg[0])
+    dy = bf(cg[1]) - bf(qg[1])
+    dz = bf(cg[2]) - bf(qg[2])
     r2 = jnp.float32(radius * radius)
     ok = e_valid & (dx * dx + dy * dy + dz * dz <= r2)
 
@@ -286,10 +293,12 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     # candidate order; see ball_query's layout comment for why that order
     # matters (cross-cell edges must rank before any dense run saturates K).
     # Failed edges get the sentinel key, so after the sort each point's
-    # segment holds ONLY its in-radius candidates in (w, o) order.
+    # segment holds ONLY its in-radius candidates in (w, o) order. The
+    # candidate's original index rides as the sort payload — no post-sort
+    # gather needed.
     op2 = _pow2(n_off)
     key = jnp.where(ok, (p_e * window + w_e) * op2 + o_e, hs.SENTINEL)
-    key_s, pos_s = jax.lax.sort((key, pos), num_keys=1)
+    key_s, cand_s = jax.lax.sort((key, cg[3]), num_keys=1)
     ok_s = key_s != hs.SENTINEL
     p_s = jnp.where(ok_s, key_s // (window * op2), n)
 
@@ -298,11 +307,13 @@ def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     seg_start = jax.lax.cummax(jnp.where(first, e, -1))
     col = e - seg_start
     store = ok_s & (col < k)
-    col_c = jnp.where(store, col, k)
-    cand = jnp.where(store, perm_ext[pos_s], n)
-    nbr_idx = jnp.zeros((n, k), jnp.int32).at[p_s, col_c].set(cand, mode="drop")
-    nbr_valid = jnp.zeros((n, k), bool).at[p_s, col_c].set(store, mode="drop")
-    return jnp.where(nbr_valid, nbr_idx, n), nbr_valid, edges_dropped
+    # ONE scatter: non-stored edges route to the (n, k) trash cell; validity
+    # is recovered as idx < n (stored candidates are always < n)
+    tbl = jnp.full((n + 1, k + 1), n, jnp.int32).at[
+        jnp.where(store, p_s, n), jnp.where(store, col, k)].set(
+        jnp.where(store, cand_s, n), mode="drop")
+    nbr_idx = tbl[:n, :k]
+    return nbr_idx, nbr_idx < n, edges_dropped
 
 
 def _pow2(x: int) -> int:

@@ -152,16 +152,24 @@ def _unit_table(coords: jax.Array, batch: jax.Array, active: jax.Array,
     uid = jnp.where(active & (unit_id < u_cap), unit_id, u_cap)
     w = (uid < u_cap).astype(jnp.float32)
 
-    csum = jnp.zeros((u_cap + 1, 3), jnp.float32).at[uid].add(coords * w[:, None])
-    cnt = jnp.zeros((u_cap + 1,), jnp.float32).at[uid].add(w)
-    u_coords = (csum / jnp.maximum(cnt, 1.0)[:, None])[:u_cap]
+    # channel-major packed scatters: ONE (4, U+1) column scatter-add for
+    # x/y/z/count and one (1-2, U+1) column scatter-max for batch/group —
+    # fused multi-channel scatters cost ~the per-index price of a single 1-D
+    # scatter (tools/microbench_fill.py). Per-unit f32 sums see the same
+    # point-ordered update sequence as the old per-array scatters, so unit
+    # centroids are bit-identical.
+    vals = jnp.stack([coords[:, 0] * w, coords[:, 1] * w, coords[:, 2] * w, w], 0)
+    acc = jnp.zeros((4, u_cap + 1), jnp.float32).at[:, uid].add(vals)
+    cnt = acc[3]
+    u_coords = (acc[:3] / jnp.maximum(cnt, 1.0)[None, :]).T[:u_cap]
     u_active = cnt[:u_cap] > 0
-    u_batch = jnp.full((u_cap + 1,), -1, jnp.int32).at[uid].max(
-        jnp.where(uid < u_cap, batch, -1))[:u_cap]
-    u_group = None
+    ints = [jnp.where(uid < u_cap, batch, -1).astype(jnp.int32)]
     if group is not None:
-        u_group = jnp.full((u_cap + 1,), -1, group.dtype).at[uid].max(
-            jnp.where(uid < u_cap, group, -1))[:u_cap]
+        ints.append(jnp.where(uid < u_cap, group, -1).astype(jnp.int32))
+    mx = jnp.full((len(ints), u_cap + 1), -1, jnp.int32).at[:, uid].max(
+        jnp.stack(ints, 0))
+    u_batch = mx[0, :u_cap]
+    u_group = mx[1, :u_cap].astype(group.dtype) if group is not None else None
     return u_coords, u_batch, u_active, u_group, uid, cnt[:u_cap].astype(jnp.int32)
 
 
