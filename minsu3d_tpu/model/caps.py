@@ -44,6 +44,11 @@ class StaticCaps(NamedTuple):
                                     # EQUAL to the cluster radius puts the
                                     # shifted clustering on cluster_step's
                                     # W=1 fast path (<= 1 unit per hash cell)
+    grid_extent: tuple = ()     # (X, Y, Z) level-0 extent for the dense-grid
+                                # backbone (model.network.dense_grid; see
+                                # ops/dense_grid.py). Voxels beyond it are
+                                # dropped and surfaced as diag grid_dropped
+    grid_batch: int = 1         # scenes per shard (the dense grid's B axis)
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -71,4 +76,6 @@ class StaticCaps(NamedTuple):
             xyz_grid_cell=float(caps.get("cluster_cell_xyz", 0.0)),
             edge_factor_xyz=int(caps.get("bq_edge_factor_xyz", 0)),
             shifted_grid_cell=float(caps.get("cluster_cell_shifted", 0.0)),
+            grid_extent=tuple(int(g) for g in (caps.get("grid", None) or ())),
+            grid_batch=int(cfg.data.batch_size) if split == "train" else 1,
         )

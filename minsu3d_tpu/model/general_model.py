@@ -58,6 +58,19 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
     return plan, v2p, voxel_feats
 
 
+def dense_grid_flag(cfg) -> bool:
+    """``model.network.dense_grid`` with its config contract: the dense-grid
+    backbone (ops/dense_grid.py) needs a configured level-0 extent."""
+    flag = bool(cfg.model.network.get("dense_grid", False))
+    if flag:
+        grid = tuple(cfg.data.caps.get("grid", None) or ())
+        if len(grid) != 3 or not all(int(g) > 0 for g in grid):
+            raise ValueError(
+                "model.network.dense_grid=True needs data.caps.grid=[X, Y, Z] "
+                f"(level-0 cell extents at voxel_size resolution); got {grid!r}")
+    return flag
+
+
 def plan_dropped(plan) -> jax.Array:
     """Total voxels lost to level-capacity overflow across the plan —
     surfaced in ``out["diag"]`` so mis-set ``data.caps.*`` show up in logs."""

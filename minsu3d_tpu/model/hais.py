@@ -22,6 +22,7 @@ from minsu3d_tpu.model.caps import StaticCaps
 from minsu3d_tpu.model.module import Backbone
 from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
 from minsu3d_tpu.model.pointgroup import foreground_mask
+from minsu3d_tpu.ops import dense_grid as dg
 from minsu3d_tpu.ops import segment
 from minsu3d_tpu.ops.cluster import Clusters
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou, get_mask_label
@@ -113,16 +114,19 @@ class HAISNet(nn.Module):
     voxel_size: float = 0.02
     compute_dtype: str | None = None
     channel_major: bool = False
+    dense_grid: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool,
                  use_set_aggr: bool = True, mask_filter_score_feature: bool = False,
                  mask_filter_thre: float = 0.5) -> dict:
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
+        dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
+                if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
                        self.classes, self.compute_dtype, self.channel_major,
-                       name="backbone")(
-            vfeats, plan, v2p, batch["point_mask"], train)
+                       grid=self.dense_grid, name="backbone")(
+            vfeats, plan, v2p, batch["point_mask"], train, dense_ctx=dctx)
         if not with_heads:
             return out
 
@@ -155,6 +159,8 @@ class HAISNet(nn.Module):
                        "voxels_dropped": gm.plan_dropped(plan),
                        "edges_dropped": clus.edges_dropped,
                        "clusters_dropped": clus.clusters_dropped}
+        if dctx is not None:
+            out["diag"]["grid_dropped"] = dctx.n_dropped
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(
@@ -196,6 +202,7 @@ def make_net(cfg, split: str) -> HAISNet:
         voxel_size=float(cfg.data.voxel_size),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
+        dense_grid=gm.dense_grid_flag(cfg),
     )
 
 

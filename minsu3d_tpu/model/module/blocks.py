@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from minsu3d_tpu.ops import sparse_conv
+from minsu3d_tpu.ops import dense_grid, sparse_conv
 from minsu3d_tpu.ops.sparse import GridPlan, Level
 
 
@@ -48,8 +48,10 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        v_axis = 1 if self.cm else 0
-        mask_b = mask[None, :] if self.cm else mask[:, None]
+        # rows = the single non-channel axis (V,) — or ALL leading axes for
+        # dense-grid (B, X, Y, Z, C) activations (ops/dense_grid.py)
+        v_axis = 1 if self.cm else tuple(range(x.ndim - 1))
+        mask_b = mask[None, :] if self.cm else mask[..., None]
         # stats in f32 even when activations are stored bf16 (a bf16 sum over
         # ~100k rows loses the mean entirely); output returns to x.dtype
         x32 = x.astype(jnp.float32)
@@ -83,11 +85,14 @@ class SubmConv(nn.Module):
     out_features: int
     compute_dtype: str | None = None
     cm: bool = False
+    grid: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, level: Level) -> jax.Array:
+    def __call__(self, x: jax.Array, level) -> jax.Array:
         w = self.param("kernel", _conv_init(27, self.in_features),
                        (27, self.in_features, self.out_features))
+        if self.grid:  # dense-grid mode: ``level`` is the occupancy mask
+            return dense_grid.subm_conv_grid(x, level, w, self.compute_dtype)
         if self.cm:
             return sparse_conv.subm_conv_cm(x, level, w, self.compute_dtype)
         return sparse_conv.subm_conv(x, level, w, self.compute_dtype)
@@ -117,11 +122,14 @@ class DownConv(nn.Module):
     out_features: int
     compute_dtype: str | None = None
     cm: bool = False
+    grid: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, child: Level, parent_cap: int) -> jax.Array:
+    def __call__(self, x: jax.Array, child, parent_cap: int = 0) -> jax.Array:
         w = self.param("kernel", _conv_init(8, self.in_features),
                        (8, self.in_features, self.out_features))
+        if self.grid:  # dense-grid mode: ``child`` is the PARENT's mask
+            return dense_grid.down_conv_grid(x, child, w, self.compute_dtype)
         if self.cm:
             return sparse_conv.down_conv_cm(x, child, parent_cap, w, self.compute_dtype)
         return sparse_conv.down_conv(x, child, parent_cap, w, self.compute_dtype)
@@ -134,11 +142,14 @@ class UpConv(nn.Module):
     out_features: int
     compute_dtype: str | None = None
     cm: bool = False
+    grid: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, child: Level) -> jax.Array:
+    def __call__(self, x: jax.Array, child) -> jax.Array:
         w = self.param("kernel", _conv_init(8, self.in_features),
                        (8, self.in_features, self.out_features))
+        if self.grid:  # dense-grid mode: ``child`` is the child's mask
+            return dense_grid.up_conv_grid(x, child, w, self.compute_dtype)
         if self.cm:
             return sparse_conv.up_conv_cm(x, child, w, self.compute_dtype)
         return sparse_conv.up_conv(x, child, w, self.compute_dtype)
@@ -151,21 +162,24 @@ class ResidualBlock(nn.Module):
     out_features: int
     compute_dtype: str | None = None
     cm: bool = False
+    grid: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, level: Level, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, level, train: bool) -> jax.Array:
+        # grid mode: ``level`` is the occupancy mask (ops/dense_grid.py)
+        valid = level if self.grid else level.valid
         identity = x
         if self.in_features != self.out_features:
             identity = Conv1x1(self.in_features, self.out_features, cm=self.cm,
                                name="downsample")(x)
-        y = MaskedBatchNorm(self.in_features, cm=self.cm)(x, level.valid, train)
+        y = MaskedBatchNorm(self.in_features, cm=self.cm)(x, valid, train)
         y = nn.relu(y)
         y = SubmConv(self.in_features, self.out_features, self.compute_dtype,
-                     self.cm)(y, level)
-        y = MaskedBatchNorm(self.out_features, cm=self.cm)(y, level.valid, train)
+                     self.cm, self.grid)(y, level)
+        y = MaskedBatchNorm(self.out_features, cm=self.cm)(y, valid, train)
         y = nn.relu(y)
         y = SubmConv(self.out_features, self.out_features, self.compute_dtype,
-                     self.cm)(y, level)
+                     self.cm, self.grid)(y, level)
         return y + identity
 
 
@@ -181,32 +195,44 @@ class UBlock(nn.Module):
     compute_dtype: str | None = None
     depth: int = 0
     cm: bool = False
+    grid: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, plan: GridPlan, train: bool) -> jax.Array:
-        level = plan.levels[self.depth]
+    def __call__(self, x: jax.Array, plan, train: bool) -> jax.Array:
+        # grid mode: ``plan`` is a dense_grid.DenseCtx; levels become masks
+        if self.grid:
+            level, valid = plan.masks[self.depth], plan.masks[self.depth]
+        else:
+            level, valid = plan.levels[self.depth], plan.levels[self.depth].valid
         p0 = self.planes[0]
         for i in range(self.block_reps):
-            x = ResidualBlock(p0, p0, self.compute_dtype, self.cm,
+            x = ResidualBlock(p0, p0, self.compute_dtype, self.cm, self.grid,
                               name=f"block{i}")(x, level, train)
         identity = x
 
         if len(self.planes) > 1:
             p1 = self.planes[1]
-            parent = plan.levels[self.depth + 1]
-            y = MaskedBatchNorm(p0, cm=self.cm, name="conv_bn")(x, level.valid, train)
+            if self.grid:
+                parent, p_valid, p_cap = plan.masks[self.depth + 1], plan.masks[self.depth + 1], 0
+                down_nbr = parent  # DownConv's grid mode takes the parent mask
+            else:
+                parent, p_valid, p_cap = plan.levels[self.depth + 1], plan.levels[self.depth + 1].valid, plan.levels[self.depth + 1].cap
+                down_nbr = level
+            y = MaskedBatchNorm(p0, cm=self.cm, name="conv_bn")(x, valid, train)
             y = nn.relu(y)
-            y = DownConv(p0, p1, self.compute_dtype, self.cm, name="conv")(y, level, parent.cap)
+            y = DownConv(p0, p1, self.compute_dtype, self.cm, self.grid,
+                         name="conv")(y, down_nbr, p_cap)
             y = UBlock(self.planes[1:], self.block_reps, self.compute_dtype,
-                       self.depth + 1, self.cm, name="u")(y, plan, train)
-            y = MaskedBatchNorm(p1, cm=self.cm, name="deconv_bn")(y, parent.valid, train)
+                       self.depth + 1, self.cm, self.grid, name="u")(y, plan, train)
+            y = MaskedBatchNorm(p1, cm=self.cm, name="deconv_bn")(y, p_valid, train)
             y = nn.relu(y)
-            y = UpConv(p1, p0, self.compute_dtype, self.cm, name="deconv")(y, level)
+            y = UpConv(p1, p0, self.compute_dtype, self.cm, self.grid,
+                       name="deconv")(y, level)
             # skip connection: ME.cat (common.py:93) — channel axis is 0 in cm
-            x = jnp.concatenate([identity, y], axis=0 if self.cm else 1)
+            x = jnp.concatenate([identity, y], axis=0 if self.cm else -1)
             for i in range(self.block_reps):
                 cin = p0 * 2 if i == 0 else p0
-                x = ResidualBlock(cin, p0, self.compute_dtype, self.cm,
+                x = ResidualBlock(cin, p0, self.compute_dtype, self.cm, self.grid,
                                   name=f"block_tail{i}")(x, level, train)
         return x
 
@@ -251,27 +277,42 @@ class Backbone(nn.Module):
     sem_classes: int
     compute_dtype: str | None = None
     cm: bool = False
+    grid: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats: jax.Array, plan: GridPlan, v2p: jax.Array,
-                 point_mask: jax.Array, train: bool) -> dict:
+                 point_mask: jax.Array, train: bool, dense_ctx=None) -> dict:
         m = self.output_channel
         # store activations in the compute dtype: halves the HBM traffic of
         # every conv gather/scatter (stats and heads still run in f32)
         if self.compute_dtype is not None:
             voxel_feats = voxel_feats.astype(self.compute_dtype)
-        if self.cm:
-            # one (V, Cin) -> (Cin, V) relayout at entry; the whole UNet then
-            # runs channel-major (dense tiles, see sparse_conv.py)
-            voxel_feats = voxel_feats.T
-        x = SubmConv(self.input_channel, m, self.compute_dtype, self.cm,
-                     name="input_conv")(voxel_feats, plan.levels[0])
-        x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
-                   self.compute_dtype, 0, self.cm, name="unet")(x, plan, train)
-        x = MaskedBatchNorm(m, cm=self.cm, name="out_bn")(x, plan.levels[0].valid, train)
-        x = nn.relu(x)
-        if self.cm:
-            x = x.T  # back to (V, m) for the point heads
+        if self.grid:
+            # dense-grid mode (ops/dense_grid.py): one scatter into the
+            # (B, X, Y, Z, C) scene grid, the whole UNet as masked dense
+            # convs, one gather back at the level-0 voxel cells
+            n_batch = dense_ctx.masks[0].shape[0]
+            x = dense_grid.scatter_to_grid(voxel_feats, dense_ctx, n_batch)
+            x = SubmConv(self.input_channel, m, self.compute_dtype, grid=True,
+                         name="input_conv")(x, dense_ctx.masks[0])
+            x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
+                       self.compute_dtype, 0, grid=True, name="unet")(x, dense_ctx, train)
+            x = MaskedBatchNorm(m, name="out_bn")(x, dense_ctx.masks[0], train)
+            x = nn.relu(x)
+            x = dense_grid.gather_from_grid(x, dense_ctx)  # (V, m)
+        else:
+            if self.cm:
+                # one (V, Cin) -> (Cin, V) relayout at entry; the whole UNet
+                # then runs channel-major (dense tiles, see sparse_conv.py)
+                voxel_feats = voxel_feats.T
+            x = SubmConv(self.input_channel, m, self.compute_dtype, self.cm,
+                         name="input_conv")(voxel_feats, plan.levels[0])
+            x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
+                       self.compute_dtype, 0, self.cm, name="unet")(x, plan, train)
+            x = MaskedBatchNorm(m, cm=self.cm, name="out_bn")(x, plan.levels[0].valid, train)
+            x = nn.relu(x)
+            if self.cm:
+                x = x.T  # back to (V, m) for the point heads
 
         # devoxelize: voxel -> point gather (backbone.py:40); v2p == cap reads 0
         pf = sparse_conv.ext_zero(x)[v2p]

@@ -20,6 +20,7 @@ from minsu3d_tpu.model import general_model as gm
 from minsu3d_tpu.model.caps import StaticCaps
 from minsu3d_tpu.model.module import Backbone
 from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
+from minsu3d_tpu.ops import dense_grid as dg
 from minsu3d_tpu.ops import segment
 from minsu3d_tpu.ops.cluster import Clusters
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou
@@ -85,14 +86,17 @@ class PointGroupNet(nn.Module):
     voxel_size: float = 0.02
     compute_dtype: str | None = None
     channel_major: bool = False
+    dense_grid: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
+        dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
+                if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
                        self.classes, self.compute_dtype, self.channel_major,
-                       name="backbone")(
-            vfeats, plan, v2p, batch["point_mask"], train)
+                       grid=self.dense_grid, name="backbone")(
+            vfeats, plan, v2p, batch["point_mask"], train, dense_ctx=dctx)
 
         if not with_heads:
             return out
@@ -141,6 +145,8 @@ class PointGroupNet(nn.Module):
                        "edges_dropped": clus.edges_dropped + clus_shift.edges_dropped,
                        "clusters_dropped": clus.clusters_dropped
                        + clus_shift.clusters_dropped}
+        if dctx is not None:
+            out["diag"]["grid_dropped"] = dctx.n_dropped
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(
@@ -170,6 +176,7 @@ def make_net(cfg, split: str) -> PointGroupNet:
         voxel_size=float(cfg.data.voxel_size),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
+        dense_grid=gm.dense_grid_flag(cfg),
     )
 
 

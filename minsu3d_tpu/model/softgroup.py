@@ -198,6 +198,7 @@ class SoftGroupNet(nn.Module):
     compute_dtype: str | None = None
     channel_major: bool = False
     packed_grouping: bool = True
+    dense_grid: bool = False
 
     @property
     def fg_class_ids(self) -> tuple:
@@ -210,10 +211,12 @@ class SoftGroupNet(nn.Module):
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
+        dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
+                if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
                        self.classes, self.compute_dtype, self.channel_major,
-                       name="backbone")(
-            vfeats, plan, v2p, batch["point_mask"], train)
+                       grid=self.dense_grid, name="backbone")(
+            vfeats, plan, v2p, batch["point_mask"], train, dense_ctx=dctx)
         if not with_heads:
             return out
 
@@ -238,6 +241,8 @@ class SoftGroupNet(nn.Module):
             rows = compact_rows(rows, r_cap)
         out["proposal_rows"] = rows
         out["diag"] = {**diag, "voxels_dropped": gm.plan_dropped(plan)}
+        if dctx is not None:
+            out["diag"]["grid_dropped"] = dctx.n_dropped
 
         rng = self.make_rng("cluster") if train else jax.random.PRNGKey(0)
         volume, occ, row_cell = gm.clusters_voxelization_dense(
@@ -280,6 +285,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         voxel_size=float(cfg.data.voxel_size),
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
+        dense_grid=gm.dense_grid_flag(cfg),
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),
     )
 

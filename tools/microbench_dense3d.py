@@ -64,7 +64,8 @@ timeit("calib (x+1 on 1 scalar)", lambda v: v + 1.0, jnp.float32(1.0))
 
 # channels-LAST (N,X,Y,Z,C): C=16 minor pads (8,128) tiles 8x — probe
 # whether XLA's conv emitter dodges the padding; channels-FIRST (N,C,X,Y,Z)
-# keeps (Y? Z) minor. Also a 2D flattening (X, Y*Z) reference.
+# keeps (Y, Z) minor. Go/no-go pair first: remote compiles are slow, so the
+# decision-critical variants must land before any timeout.
 for (gx, gy, gz, c) in [(400, 400, 104, 16), (400, 400, 104, 32),
                         (200, 200, 52, 32)]:
     gb = 2 * (gx * gy * gz * c) * 2 / 1e9
@@ -72,10 +73,12 @@ for (gx, gy, gz, c) in [(400, 400, 104, 16), (400, 400, 104, 32),
     w = jnp.array(rng.normal(0, 0.1, (3, 3, 3, c, c)), jnp.bfloat16)
     timeit(f"conv3d NXYZC ({gx},{gy},{gz},{c}) [{gb:.2f} GB rt]",
            lambda x, w: conv3(x, w, dn_cl), x, w)
-    timeit(f"conv3d NXYZC ({gx},{gy},{gz},{c}) stride2",
-           lambda x, w: conv3(x, w, dn_cl, 2), x, w)
     del x
     x = jnp.array(rng.normal(0, 1, (1, c, gx, gy, gz)), jnp.bfloat16)
     timeit(f"conv3d NCXYZ ({c},{gx},{gy},{gz}) [{gb:.2f} GB rt]",
            lambda x, w: conv3(x, w, dn_cf), x, w)
+    del x
+    x = jnp.array(rng.normal(0, 1, (1, gx, gy, gz, c)), jnp.bfloat16)
+    timeit(f"conv3d NXYZC ({gx},{gy},{gz},{c}) stride2",
+           lambda x, w: conv3(x, w, dn_cl, 2), x, w)
     del x, w
