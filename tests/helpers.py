@@ -32,10 +32,12 @@ def tiny_cfg(model="pointgroup", extra=()):
     return load_config([f"model={model}", "data=scannetv2", *TINY_CAPS, *extra])
 
 
-def tiny_scenes(n=2, seed=0, num_objects=5, points_per_object=600, floor_points=3000):
+def tiny_scenes(n=2, seed=0, num_objects=5, points_per_object=600, floor_points=3000,
+                **scene_kw):
     return [
         make_scene(seed=seed + i, num_objects=num_objects,
-                   points_per_object=points_per_object, floor_points=floor_points)
+                   points_per_object=points_per_object, floor_points=floor_points,
+                   **scene_kw)
         for i in range(n)
     ]
 

@@ -147,3 +147,40 @@ def test_backbone_grid_matches_row_major():
     for path, leaf in flat_r:
         np.testing.assert_allclose(np.asarray(flat_g[path]), np.asarray(leaf),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_pointgroup_forward_dense_grid_matches(capfd=None):
+    """Full PointGroup train-mode forward (batch of 2 scenes) with
+    model.network.dense_grid=True must match the sparse default: same
+    losses to float tolerance, grid_dropped=0 at a sufficient extent."""
+    import jax
+    from helpers import tiny_cfg, make_batch
+    from minsu3d_tpu.model import get_model
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    extra = ["model.network.dense_grid=True", "data.caps.grid=[224,224,224]",
+             "model.trainer.precision=float32"]
+    cfg_g = tiny_cfg("pointgroup", extra=extra)
+    cfg_s = tiny_cfg("pointgroup", extra=["model.trainer.precision=float32"])
+    batch, arrays, items = make_batch(cfg_g, "train", 2, room=2.5)
+    bundle = get_model("PointGroup")
+    caps = StaticCaps.from_cfg(cfg_g, "train")
+    assert caps.grid_extent == (224, 224, 224) and caps.grid_batch == 2
+
+    key = jax.random.PRNGKey(0)
+    net_s = bundle.make_net(cfg_s, "train")
+    net_g = bundle.make_net(cfg_g, "train")
+    variables = jax.jit(lambda k, b: net_s.init(
+        {"params": k, "cluster": k}, b, True, True))(key, arrays)
+
+    def run(net, cfg):
+        out, _ = net.apply(variables, arrays, True, True,
+                           rngs={"cluster": key}, mutable=["batch_stats"])
+        losses = bundle.losses(cfg, caps, arrays, out, True)
+        return out, {k: float(v) for k, v in losses.items()}
+
+    out_s, ls = run(net_s, cfg_s)
+    out_g, lg = run(net_g, cfg_g)
+    assert int(out_g["diag"]["grid_dropped"]) == 0
+    for k in ls:
+        np.testing.assert_allclose(lg[k], ls[k], rtol=1e-3, atol=1e-4, err_msg=k)
