@@ -233,9 +233,73 @@ def main() -> None:
         dt_pipe = time.perf_counter() - t0
         result["pipeline_scenes_per_sec"] = round(n_scenes / dt_pipe, 3)
 
+    if os.environ.get("MINSU3D_BENCH_TRAIN"):
+        result["train_scenes_per_sec"] = _train_throughput(
+            load_config, base_overrides + spec["cluster_overrides"] + env_overrides,
+            scenes, bundle)
+
     if os.environ.get("MINSU3D_BENCH_STAGES") and model_name == "pointgroup":
         _stage_report(cfg, net, variables, batches, pack, dt / len(batches))
     print(json.dumps(result))
+
+
+def _train_throughput(load_config, overrides, scenes, bundle) -> float:
+    """Device-compute training scenes/s: full train step (forward + losses +
+    grads + Adam update) at the config's train caps and batch size, batches
+    pre-staged in HBM. Baseline anchor: the reference trains PointGroup in
+    28 h / 450 epochs / 1201 scenes on an RTX 2080 Ti ~= 5.4 scenes/s
+    (reference README.md:206)."""
+    import optax
+    from minsu3d_tpu.data.batching import collate, device_arrays, plan_spec, shard_caps
+    from minsu3d_tpu.data.dataset import GeneralDataset
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    cfg = load_config(overrides)
+    ds = GeneralDataset(cfg, "train", scenes=scenes)
+    caps = shard_caps(cfg, "train")
+    plan = plan_spec(cfg, "train")
+    bs = int(cfg.data.batch_size)
+    items = [ds[i] for i in range(len(ds))]
+    batches = [device_arrays(collate(items[i:i + bs], caps, plan))
+               for i in range(0, len(items) - bs + 1, bs)]
+    batches = jax.device_put(batches)
+    jax.block_until_ready(batches)
+
+    net = bundle.make_net(cfg, "train")
+    scaps = StaticCaps.from_cfg(cfg, "train")
+    ff = bundle.forward_flags(cfg, 999, True)
+    lf = bundle.loss_flags(cfg, 999)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda k, b: net.init(
+        {"params": k, "cluster": k}, b, True, True, **ff))(key, batches[0])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adam(float(cfg.model.optimizer.lr))
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mut = net.apply({"params": params, "batch_stats": batch_stats},
+                             batch, True, True, **ff,
+                             rngs={"cluster": rng}, mutable=["batch_stats"])
+        losses = bundle.losses(cfg, scaps, batch, out, True, **lf)
+        return sum(losses.values()), mut["batch_stats"]
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, batch, rng):
+        (_, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state
+
+    state = (params, batch_stats, opt_state)
+    state = step(*state, batches[0], key)  # compile + warm
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i, b in enumerate(batches):
+        state = step(*state, b, jax.random.fold_in(key, i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return round(len(batches) * bs / dt, 3)
 
 
 def _stage_report(cfg, net, variables, batches, pack, full_per_batch):

@@ -214,8 +214,8 @@ def clusters_voxelization(rows: ProposalRows, p_cap: int, feats: jax.Array,
     rnd2 = jax.random.uniform(rng2, (3,))
     span = max_xyz - min_xyz
     offset = (-min_xyz
-              + jnp.clip(spatial_shape - span - 0.001, min=0) * rnd1[None, :]
-              + jnp.clip(spatial_shape - span + 0.001, max=0) * rnd2[None, :])
+              + jnp.maximum(spatial_shape - span - 0.001, 0) * rnd1[None, :]
+              + jnp.minimum(spatial_shape - span + 0.001, 0) * rnd2[None, :])
     c = c + offset[jnp.minimum(pid, p_cap - 1)]
     grid = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, spatial_shape + 2)
 
@@ -265,8 +265,8 @@ def clusters_voxelization_dense(rows: ProposalRows, p_cap: int, feats: jax.Array
     rng1, rng2 = jax.random.split(rng)
     span = max_xyz - min_xyz
     offset = (-min_xyz
-              + jnp.clip(s - span - 0.001, min=0) * jax.random.uniform(rng1, (3,))[None, :]
-              + jnp.clip(s - span + 0.001, max=0) * jax.random.uniform(rng2, (3,))[None, :])
+              + jnp.maximum(s - span - 0.001, 0) * jax.random.uniform(rng1, (3,))[None, :]
+              + jnp.minimum(s - span + 0.001, 0) * jax.random.uniform(rng2, (3,))[None, :])
     c = c + offset[jnp.minimum(pid, p_cap - 1)]
     grid = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, s - 1)
 
