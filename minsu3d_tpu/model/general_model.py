@@ -24,7 +24,8 @@ def backbone_caps(cfg, split: str) -> list[int]:
     return [max(v // d, 1024) for d in caps.level_divisors]
 
 
-def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
+def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
+                     tap_fracs: tuple = ()):
     """GridPlan over the batch's voxels + per-point voxel index (sorted space).
 
     When the collate shipped a host-built plan (``plan0_khi`` present — see
@@ -32,6 +33,11 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
     the device then only gathers representative features instead of running
     the sort pipeline (~0.3 s/scene at eval caps, overlapped with compute by
     the input pipeline instead).
+
+    ``tap_fracs`` (model.network.tap_compact) attaches compact per-tap kernel
+    maps to the first ``len(tap_fracs)`` levels with per-tap pair capacity
+    ``frac * level.cap`` (0 = dense level, see sparse_conv.add_tap_lists);
+    pair overflow is summed into the plan's diag via ``plan_tap_dropped``.
     """
     cap0 = caps[0]
     if "plan0_khi" in batch:
@@ -53,9 +59,31 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int):
         plan, row2voxel, voxel_feats = sparse.build_plan(
             batch["voxel_batch"], batch["voxel_coords"], batch["voxel_mask"],
             caps, num_levels, batch["voxel_feats"])
+    if tap_fracs:
+        from minsu3d_tpu.ops import sparse_conv
+
+        levels = []
+        for lvl, level in enumerate(plan.levels):
+            frac = tap_fracs[lvl] if lvl < len(tap_fracs) else 0.0
+            if frac and frac > 0:
+                e_cap = max(int(round(float(frac) * level.cap)), 128)
+                level = sparse_conv.add_tap_lists(level, e_cap)
+            levels.append(level)
+        plan = sparse.GridPlan(levels=tuple(levels))
     r2v_ext = jnp.concatenate([row2voxel, jnp.full((1,), cap0, jnp.int32)])
     v2p = r2v_ext[jnp.minimum(batch["p2v"], row2voxel.shape[0])]
     return plan, v2p, voxel_feats
+
+
+def plan_tap_dropped(plan) -> jax.Array:
+    """Total compact-tap pairs lost to per-tap capacity overflow (0 when no
+    level carries tap lists) — surfaced in ``out["diag"]``: overflow degrades
+    ACCURACY (missing neighbor contributions), never speed."""
+    total = jnp.int32(0)
+    for lv in plan.levels:
+        if lv.tap_dropped is not None:
+            total = total + lv.tap_dropped
+    return total
 
 
 def dense_grid_flag(cfg) -> bool:

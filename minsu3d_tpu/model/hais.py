@@ -115,12 +115,15 @@ class HAISNet(nn.Module):
     compute_dtype: str | None = None
     channel_major: bool = False
     dense_grid: bool = False
+    tap_compact: tuple = ()
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool,
                  use_set_aggr: bool = True, mask_filter_score_feature: bool = False,
                  mask_filter_thre: float = 0.5) -> dict:
-        plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
+        fracs = () if (self.channel_major or self.dense_grid) else self.tap_compact
+        plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps),
+                                                len(self.blocks), fracs)
         dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
@@ -159,6 +162,8 @@ class HAISNet(nn.Module):
                        "voxels_dropped": gm.plan_dropped(plan),
                        "edges_dropped": clus.edges_dropped,
                        "clusters_dropped": clus.clusters_dropped}
+        if self.tap_compact:
+            out["diag"]["tap_dropped"] = gm.plan_tap_dropped(plan)
         if dctx is not None:
             out["diag"]["grid_dropped"] = dctx.n_dropped
 
@@ -203,6 +208,7 @@ def make_net(cfg, split: str) -> HAISNet:
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
         dense_grid=gm.dense_grid_flag(cfg),
+        tap_compact=tuple(net_cfg.get("tap_compact", None) or ()),
     )
 
 

@@ -199,6 +199,7 @@ class SoftGroupNet(nn.Module):
     channel_major: bool = False
     packed_grouping: bool = True
     dense_grid: bool = False
+    tap_compact: tuple = ()
 
     @property
     def fg_class_ids(self) -> tuple:
@@ -210,7 +211,9 @@ class SoftGroupNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
-        plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps), len(self.blocks))
+        fracs = () if (self.channel_major or self.dense_grid) else self.tap_compact
+        plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps),
+                                                len(self.blocks), fracs)
         dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
@@ -241,6 +244,8 @@ class SoftGroupNet(nn.Module):
             rows = compact_rows(rows, r_cap)
         out["proposal_rows"] = rows
         out["diag"] = {**diag, "voxels_dropped": gm.plan_dropped(plan)}
+        if self.tap_compact:
+            out["diag"]["tap_dropped"] = gm.plan_tap_dropped(plan)
         if dctx is not None:
             out["diag"]["grid_dropped"] = dctx.n_dropped
 
@@ -286,6 +291,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
         dense_grid=gm.dense_grid_flag(cfg),
+        tap_compact=tuple(net_cfg.get("tap_compact", None) or ()),
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),
     )
 

@@ -41,6 +41,15 @@ class Level(NamedTuple):
     nbr_idx: Optional[jax.Array] = None     # (V, 27) same-level kernel map
     parent_idx: Optional[jax.Array] = None  # (V,) index into next level (cap_p = missing)
     child_kid: Optional[jax.Array] = None   # (V,) which of 8 k2s2 taps (0..7)
+    # compact per-tap kernel map (sparse_conv.add_tap_lists): for each of the
+    # 26 non-center taps, the MONOTONE compacted (source, target) index lists
+    # of the tap's real neighbor pairs (cap = padding), grouped by tap class
+    # (face/edge/corner — sparse_conv.TAP_CLASSES) with per-class capacities.
+    # Lets subm convs gather only the ~18% real rows at the structured-gather
+    # rate instead of paying the zero-row gather for all 27*V slots.
+    tap_src: Optional[tuple] = None         # 3x (g, E_class) source voxel
+    tap_tgt: Optional[tuple] = None         # 3x (g, E_class) target voxel
+    tap_dropped: Optional[jax.Array] = None  # () pairs lost to E overflow
 
     @property
     def cap(self) -> int:

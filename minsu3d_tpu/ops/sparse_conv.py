@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from minsu3d_tpu.ops.sparse import KERNEL_OFFSETS as _OFFS
 from minsu3d_tpu.ops.sparse import Level
 
 
@@ -88,6 +89,94 @@ def up_conv(parent_feats: jax.Array, child: Level, weight: jax.Array,
         out = out + _mm(masked, weight[k], compute_dtype)
     out = jnp.where(child.valid[:, None], out, 0)
     return out.astype(parent_feats.dtype)
+
+
+# -- compact per-tap kernel maps ----------------------------------------------
+#
+# The dense subm_conv gathers all 27*V neighbor slots even though only ~18%
+# hold a real neighbor at level 0 (the rest fetch the zero row) — and the
+# measured cost of an XLA gather on this TPU is per ROW (~3-5 ns), regardless
+# of row width or validity. For a FIXED tap offset o the valid (target,
+# source) pairs are MONOTONE in both coordinates: voxel tables are sorted by
+# (batch, x, y, z) key, and adding a constant offset preserves that order, so
+# compacting each tap's pairs keeps the structured-gather rate while skipping
+# the zero rows. One cumsum + one scatter per level (amortized over every
+# subm conv at that level) builds the lists from ``nbr_idx``; the conv then
+# pays 2*E rows (gather + scatter-add) per tap instead of V, a win whenever
+# the tap density is below ~50%. Overflow beyond ``e_cap`` drops pairs —
+# surfaced in ``tap_dropped`` and plumbed to ``out["diag"]`` (accuracy, not
+# speed, degrades on overflow, exactly like the edge-buffer ball query).
+
+# non-center taps grouped by |offset|_1: 6 face, 12 edge, 8 corner taps. The
+# measured per-tap pair density is strongly class-dependent (probe_tap_density
+# on bench scenes: L0 face<=0.23*cap, edge<=0.15, corner<=0.07), so each class
+# gets its own static capacity — a uniform per-tap cap would waste ~2x.
+TAP_CLASSES = tuple(
+    tuple(k for k in range(27) if k != 13
+          and sum(abs(c) for c in _OFFS[k]) == d) for d in (1, 2, 3))
+# edge/corner capacity as a fraction of the face capacity (measured ratios
+# are ~0.65/0.35 across levels; headroom on top — overflow shows up in
+# diag/tap_dropped, never as a silent slowdown)
+TAP_CLASS_SCALE = (1.0, 0.75, 0.45)
+
+
+def add_tap_lists(level: Level, e_cap: int) -> Level:
+    """Attach compact per-tap (source, target) pair lists to a level.
+
+    ``e_cap`` is the static FACE-tap pair capacity; edge/corner taps get
+    ``TAP_CLASS_SCALE`` fractions of it. Real per-tap counts beyond the
+    class capacity are dropped (prefix rule, count in ``tap_dropped``)."""
+    cap = level.cap
+    srcs, tgts = [], []
+    dropped = jnp.int32(0)
+    for tap_ids, scale in zip(TAP_CLASSES, TAP_CLASS_SCALE):
+        ecls = max(int(round(scale * e_cap)), 8)
+        g = len(tap_ids)
+        nt = level.nbr_idx.T[jnp.array(tap_ids)]             # (g, V)
+        valid = nt < cap
+        pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1  # rank - 1
+        counts = pos[:, -1] + 1                               # (g,) valid pairs
+        slot = jnp.where(valid & (pos < ecls), pos, ecls)
+        flat = (jnp.arange(g, dtype=jnp.int32)[:, None] * (ecls + 1) + slot).reshape(-1)
+        tgt_rows = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[None, :], (g, cap))
+        pairs = jnp.stack([nt, tgt_rows], axis=-1).reshape(-1, 2)
+        table = jnp.full((g * (ecls + 1), 2), cap, jnp.int32).at[flat].set(pairs)
+        table = table.reshape(g, ecls + 1, 2)[:, :ecls]
+        srcs.append(table[..., 0])
+        tgts.append(table[..., 1])
+        dropped = dropped + jnp.sum(jnp.maximum(counts - ecls, 0))
+    return level._replace(tap_src=tuple(srcs), tap_tgt=tuple(tgts),
+                          tap_dropped=dropped)
+
+
+def subm_conv_tap(feats: jax.Array, level: Level, weight: jax.Array,
+                  compute_dtype=None) -> jax.Array:
+    """3^3 submanifold conv over compact per-tap pair lists (add_tap_lists).
+
+    Numerically the same contraction as :func:`subm_conv` (f32 accumulation)
+    with a different summation order: center tap as one aligned GEMM, each
+    tap class as one batched gather-GEMM + scatter-add."""
+    v, cin = feats.shape
+    cout = weight.shape[-1]
+    # center tap: row-aligned, no gather (invalid rows masked — the dense
+    # path reads the zero row for them)
+    center = _mm(jnp.where(level.valid[:, None], feats, 0), weight[13],
+                 compute_dtype)                              # (V, Cout) f32
+    fe = ext_zero(feats)
+    out = jnp.zeros((v + 1, cout), jnp.float32)
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype in (None, jnp.float32, "float32") else None)
+    for tap_ids, src, tgt in zip(TAP_CLASSES, level.tap_src, level.tap_tgt):
+        g = fe[src]                                          # (g, E, Cin)
+        w = weight[jnp.array(tap_ids)]                       # (g, Cin, Cout)
+        if compute_dtype is not None:
+            g = g.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        contrib = jax.lax.dot_general(
+            g, w, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision)
+        out = out.at[tgt.reshape(-1)].add(contrib.reshape(-1, cout))
+    return (out[:v] + center).astype(feats.dtype)
 
 
 # -- channel-major (C, V) variants --------------------------------------------

@@ -158,6 +158,67 @@ class TestSparseConv:
             if cv[i]:
                 np.testing.assert_allclose(up[i], ref[pidx[i]] @ wu[kid[i]], rtol=1e-4, atol=1e-4)
 
+    def test_tap_lists_enumerate_exactly_the_valid_pairs(self):
+        rng = np.random.default_rng(11)
+        _, _, _, plan, _, _ = self._plan(rng)
+        level = plan.levels[0]
+        cap = level.cap
+        lv = sparse_conv.add_tap_lists(level, e_cap=cap)
+        assert int(lv.tap_dropped) == 0
+        nbr = np.asarray(level.nbr_idx)
+        for cls, tap_ids in enumerate(sparse_conv.TAP_CLASSES):
+            src = np.asarray(lv.tap_src[cls])
+            tgt = np.asarray(lv.tap_tgt[cls])
+            for row, k in enumerate(tap_ids):
+                valid_tgts = np.nonzero(nbr[:, k] < cap)[0]
+                n = len(valid_tgts)
+                # exactly the valid pairs, in target order (monotone both ways)
+                np.testing.assert_array_equal(tgt[row, :n], valid_tgts)
+                np.testing.assert_array_equal(src[row, :n], nbr[valid_tgts, k])
+                assert (tgt[row, n:] == cap).all() and (src[row, n:] == cap).all()
+                assert (np.diff(src[row, :n]) > 0).all()  # monotone sources
+
+    def test_subm_conv_tap_matches_dense(self):
+        rng = np.random.default_rng(12)
+        batch, coords, feats, plan, r2v, feats_v = self._plan(rng)
+        w = jnp.array(rng.normal(size=(27, 8, 5)).astype(np.float32) * 0.2)
+        lv = sparse_conv.add_tap_lists(plan.levels[0], e_cap=192)
+        dense = np.asarray(sparse_conv.subm_conv(feats_v, plan.levels[0], w))
+        tap = np.asarray(sparse_conv.subm_conv_tap(feats_v, lv, w))
+        np.testing.assert_allclose(tap, dense, rtol=1e-5, atol=1e-5)
+        # bf16 compute path
+        dense_bf = np.asarray(sparse_conv.subm_conv(
+            feats_v.astype(jnp.bfloat16), plan.levels[0], w, jnp.bfloat16)).astype(np.float32)
+        tap_bf = np.asarray(sparse_conv.subm_conv_tap(
+            feats_v.astype(jnp.bfloat16), lv, w, jnp.bfloat16)).astype(np.float32)
+        np.testing.assert_allclose(tap_bf, dense_bf, rtol=0.05, atol=0.05)
+
+    def test_tap_overflow_drops_and_surfaces(self):
+        rng = np.random.default_rng(13)
+        # dense plan (extent 8 -> ~60% occupancy) so per-tap counts well
+        # exceed the minimum class capacity of 8
+        batch, coords = random_voxels(rng, 1200, extent=8, batches=2)
+        n = len(batch)
+        cap = 1024
+        plan, _, _ = sparse.build_plan(
+            jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)),
+            jnp.arange(cap) < n, [cap, cap], 2)
+        full = sparse_conv.add_tap_lists(plan.levels[0], e_cap=cap)
+        counts = [(np.asarray(s) < cap).sum(1) for s in full.tap_src]
+        e_small = int(max(c.max() for c in counts)) // 2
+        lv = sparse_conv.add_tap_lists(plan.levels[0], e_cap=e_small)
+        expect = 0
+        for cls, scale in enumerate(sparse_conv.TAP_CLASS_SCALE):
+            ecls = max(int(round(scale * e_small)), 8)
+            expect += int(np.maximum(counts[cls] - ecls, 0).sum())
+            # surviving pairs are the FIRST ecls of each tap (prefix rule)
+            src = np.asarray(lv.tap_src[cls])
+            for row in range(src.shape[0]):
+                n = min(int(counts[cls][row]), ecls)
+                np.testing.assert_array_equal(
+                    src[row, :n], np.asarray(full.tap_src[cls])[row, :n])
+        assert int(lv.tap_dropped) == expect > 0
+
     def test_conv_is_differentiable(self):
         rng = np.random.default_rng(5)
         _, _, feats, plan, _, feats_v = self._plan(rng, n=50, cap=64)
@@ -359,3 +420,32 @@ def test_backbone_channel_major_matches_row_major():
     for path, leaf in flat_r:
         np.testing.assert_allclose(np.asarray(flat_c[path]), np.asarray(leaf),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_backbone_tap_compact_matches_dense():
+    """Full Backbone forward on a plan carrying compact tap lists must
+    reproduce the dense-plan outputs with the same params (f32)."""
+    import jax
+    from helpers import tiny_cfg, make_batch
+    from minsu3d_tpu.model import general_model as gm
+    from minsu3d_tpu.model.module import Backbone
+
+    cfg = tiny_cfg()
+    batch, arrays, items = make_batch(cfg, "val", 1, seed=3)
+    n_levels = len(cfg.model.network.blocks)
+    caps = gm.backbone_caps(cfg, "val")
+    plan, v2p, vfeats = gm.build_scene_plan(arrays, caps[:n_levels], n_levels)
+    plan_tap, _, _ = gm.build_scene_plan(arrays, caps[:n_levels], n_levels,
+                                         tap_fracs=(1.0,) * n_levels)
+    assert int(gm.plan_tap_dropped(plan_tap)) == 0  # full-cap lists drop nothing
+
+    net = Backbone(input_channel=6, output_channel=cfg.model.network.m,
+                   block_channels=tuple(cfg.model.network.blocks),
+                   block_reps=cfg.model.network.block_reps, sem_classes=20)
+    variables = net.init(jax.random.PRNGKey(0), vfeats, plan, v2p,
+                         arrays["point_mask"], False)
+    out_dense = net.apply(variables, vfeats, plan, v2p, arrays["point_mask"], False)
+    out_tap = net.apply(variables, vfeats, plan_tap, v2p, arrays["point_mask"], False)
+    for k in out_dense:
+        np.testing.assert_allclose(np.asarray(out_tap[k]), np.asarray(out_dense[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)
