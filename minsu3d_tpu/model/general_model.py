@@ -35,9 +35,12 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
     the input pipeline instead).
 
     ``tap_fracs`` (model.network.tap_compact) attaches compact per-tap kernel
-    maps to the first ``len(tap_fracs)`` levels with per-tap pair capacity
-    ``frac * level.cap`` (0 = dense level, see sparse_conv.add_tap_lists);
-    pair overflow is summed into the plan's diag via ``plan_tap_dropped``.
+    maps to the first ``len(tap_fracs)`` levels (0 = dense level, see
+    sparse_conv.add_tap_lists). Each entry is either a float — face-tap pair
+    capacity ``frac * cap`` with the default edge/corner class scales — or a
+    [face, edge, corner] triple of explicit per-class fractions (the measured
+    class ratio varies by level: probe_tap_density). Pair overflow is summed
+    into the plan's diag via ``plan_tap_dropped``.
     """
     cap0 = caps[0]
     if "plan0_khi" in batch:
@@ -65,7 +68,12 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
         levels = []
         for lvl, level in enumerate(plan.levels):
             frac = tap_fracs[lvl] if lvl < len(tap_fracs) else 0.0
-            if frac and frac > 0:
+            if isinstance(frac, (list, tuple)):
+                if any(f > 0 for f in frac):
+                    caps3 = tuple(max(int(round(float(f) * level.cap)), 8)
+                                  for f in frac)
+                    level = sparse_conv.add_tap_lists(level, caps3[0], caps3)
+            elif frac and frac > 0:
                 e_cap = max(int(round(float(frac) * level.cap)), 128)
                 level = sparse_conv.add_tap_lists(level, e_cap)
             levels.append(level)
@@ -73,6 +81,14 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
     r2v_ext = jnp.concatenate([row2voxel, jnp.full((1,), cap0, jnp.int32)])
     v2p = r2v_ext[jnp.minimum(batch["p2v"], row2voxel.shape[0])]
     return plan, v2p, voxel_feats
+
+
+def tap_compact_cfg(net_cfg) -> tuple:
+    """model.network.tap_compact as a hashable per-level tuple (flax Module
+    fields must hash): floats stay floats, triples become tuples."""
+    raw = net_cfg.get("tap_compact", None) or ()
+    return tuple(tuple(float(f) for f in e) if isinstance(e, (list, tuple))
+                 else float(e) for e in raw)
 
 
 def plan_tap_dropped(plan) -> jax.Array:

@@ -208,7 +208,7 @@ def make_net(cfg, split: str) -> HAISNet:
         compute_dtype=(jnp.bfloat16 if cfg.model.trainer.precision == "bfloat16" else None),
         channel_major=bool(net_cfg.get("channel_major", False)),
         dense_grid=gm.dense_grid_flag(cfg),
-        tap_compact=tuple(net_cfg.get("tap_compact", None) or ()),
+        tap_compact=gm.tap_compact_cfg(net_cfg),
     )
 
 

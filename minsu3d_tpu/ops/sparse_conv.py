@@ -120,17 +120,21 @@ TAP_CLASSES = tuple(
 TAP_CLASS_SCALE = (1.0, 0.75, 0.45)
 
 
-def add_tap_lists(level: Level, e_cap: int) -> Level:
+def add_tap_lists(level: Level, e_cap: int,
+                  class_caps: tuple | None = None) -> Level:
     """Attach compact per-tap (source, target) pair lists to a level.
 
     ``e_cap`` is the static FACE-tap pair capacity; edge/corner taps get
-    ``TAP_CLASS_SCALE`` fractions of it. Real per-tap counts beyond the
-    class capacity are dropped (prefix rule, count in ``tap_dropped``)."""
+    ``TAP_CLASS_SCALE`` fractions of it unless ``class_caps`` gives all
+    three capacities explicitly. Real per-tap counts beyond the class
+    capacity are dropped (prefix rule, count in ``tap_dropped``)."""
     cap = level.cap
+    if class_caps is None:
+        class_caps = tuple(int(round(s * e_cap)) for s in TAP_CLASS_SCALE)
     srcs, tgts = [], []
     dropped = jnp.int32(0)
-    for tap_ids, scale in zip(TAP_CLASSES, TAP_CLASS_SCALE):
-        ecls = max(int(round(scale * e_cap)), 8)
+    for tap_ids, ecap_cls in zip(TAP_CLASSES, class_caps):
+        ecls = max(int(ecap_cls), 8)
         g = len(tap_ids)
         nt = level.nbr_idx.T[jnp.array(tap_ids)]             # (g, V)
         valid = nt < cap

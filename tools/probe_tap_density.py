@@ -38,13 +38,21 @@ for s in range(len(scenes)):
     plan = native.build_plan_host(b["voxel_batch"], b["voxel_coords"],
                                   b["voxel_mask"], vcaps, num_levels)
     print(f"# scene {s}")
+    from minsu3d_tpu.ops.sparse import KERNEL_OFFSETS
+
+    classes = {d: [k for k in range(27) if k != 13
+                   and sum(abs(c) for c in KERNEL_OFFSETS[k]) == d]
+               for d in (1, 2, 3)}
     for lvl in range(num_levels):
         nbr = plan[f"plan{lvl}_nbr"]
         cap = nbr.shape[0]
         count = int(plan[f"plan{lvl}_count"])
         taps = [k for k in range(27) if k != 13]
         cnts = np.array([(nbr[:, k] < cap).sum() for k in taps])
+        cls_max = [max((nbr[:, k] < cap).sum() for k in ks) / cap
+                   for ks in classes.values()]
         print(f"  L{lvl} cap={cap:7d} valid={count:7d} ({count/cap:5.1%})  "
               f"tap pairs/cap: min={cnts.min()/cap:6.3f} "
               f"mean={cnts.mean()/cap:6.3f} max={cnts.max()/cap:6.3f}  "
+              f"class max f/e/c={cls_max[0]:.3f}/{cls_max[1]:.3f}/{cls_max[2]:.3f}  "
               f"rows dense=26cap={26*cap/1e6:.2f}M vs 2*sum={2*cnts.sum()/1e6:.2f}M")
