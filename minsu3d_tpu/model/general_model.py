@@ -25,7 +25,7 @@ def backbone_caps(cfg, split: str) -> list[int]:
 
 
 def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
-                     tap_fracs: tuple = ()):
+                     tap_fracs: tuple = (), blocked: tuple = ()):
     """GridPlan over the batch's voxels + per-point voxel index (sorted space).
 
     When the collate shipped a host-built plan (``plan0_khi`` present — see
@@ -41,6 +41,12 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
     [face, edge, corner] triple of explicit per-class fractions (the measured
     class ratio varies by level: probe_tap_density). Pair overflow is summed
     into the plan's diag via ``plan_tap_dropped``.
+
+    ``blocked`` (model.network.blocked_subm) attaches blocked halo-window
+    kernel maps instead: per-level halo row counts (0 = dense level, see
+    sparse_conv.add_block_meta) — subm convs then stream sequential window
+    slices instead of random row gathers. Takes precedence over tap lists in
+    the conv dispatch; out-of-halo pair overflow also lands in the diag.
     """
     cap0 = caps[0]
     if "plan0_khi" in batch:
@@ -78,6 +84,16 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
                 level = sparse_conv.add_tap_lists(level, e_cap)
             levels.append(level)
         plan = sparse.GridPlan(levels=tuple(levels))
+    if blocked:
+        from minsu3d_tpu.ops import sparse_conv
+
+        levels = []
+        for lvl, level in enumerate(plan.levels):
+            halo = int(blocked[lvl]) if lvl < len(blocked) else 0
+            if halo > 0:
+                level = sparse_conv.add_block_meta(level, halo)
+            levels.append(level)
+        plan = sparse.GridPlan(levels=tuple(levels))
     r2v_ext = jnp.concatenate([row2voxel, jnp.full((1,), cap0, jnp.int32)])
     v2p = r2v_ext[jnp.minimum(batch["p2v"], row2voxel.shape[0])]
     return plan, v2p, voxel_feats
@@ -92,14 +108,22 @@ def tap_compact_cfg(net_cfg) -> tuple:
 
 
 def plan_tap_dropped(plan) -> jax.Array:
-    """Total compact-tap pairs lost to per-tap capacity overflow (0 when no
-    level carries tap lists) — surfaced in ``out["diag"]``: overflow degrades
+    """Total kernel-map pairs lost to static-capacity overflow — compact-tap
+    lists (tap_dropped) and blocked-window fixup lists (fix_dropped) — 0 when
+    neither is attached. Surfaced in ``out["diag"]``: overflow degrades
     ACCURACY (missing neighbor contributions), never speed."""
     total = jnp.int32(0)
     for lv in plan.levels:
         if lv.tap_dropped is not None:
             total = total + lv.tap_dropped
+        if lv.fix_dropped is not None:
+            total = total + lv.fix_dropped
     return total
+
+
+def blocked_cfg(net_cfg) -> tuple:
+    """model.network.blocked_subm as a hashable per-level halo tuple."""
+    return tuple(int(h) for h in (net_cfg.get("blocked_subm", None) or ()))
 
 
 def dense_grid_flag(cfg) -> bool:

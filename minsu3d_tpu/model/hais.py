@@ -116,14 +116,16 @@ class HAISNet(nn.Module):
     channel_major: bool = False
     dense_grid: bool = False
     tap_compact: tuple = ()
+    blocked_subm: tuple = ()
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool,
                  use_set_aggr: bool = True, mask_filter_score_feature: bool = False,
                  mask_filter_thre: float = 0.5) -> dict:
         fracs = () if (self.channel_major or self.dense_grid) else self.tap_compact
+        halos = () if (self.channel_major or self.dense_grid) else self.blocked_subm
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps),
-                                                len(self.blocks), fracs)
+                                                len(self.blocks), fracs, halos)
         dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
@@ -162,7 +164,7 @@ class HAISNet(nn.Module):
                        "voxels_dropped": gm.plan_dropped(plan),
                        "edges_dropped": clus.edges_dropped,
                        "clusters_dropped": clus.clusters_dropped}
-        if self.tap_compact:
+        if self.tap_compact or self.blocked_subm:
             out["diag"]["tap_dropped"] = gm.plan_tap_dropped(plan)
         if dctx is not None:
             out["diag"]["grid_dropped"] = dctx.n_dropped
@@ -209,6 +211,7 @@ def make_net(cfg, split: str) -> HAISNet:
         channel_major=bool(net_cfg.get("channel_major", False)),
         dense_grid=gm.dense_grid_flag(cfg),
         tap_compact=gm.tap_compact_cfg(net_cfg),
+        blocked_subm=gm.blocked_cfg(net_cfg),
     )
 
 

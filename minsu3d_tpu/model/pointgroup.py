@@ -88,12 +88,14 @@ class PointGroupNet(nn.Module):
     channel_major: bool = False
     dense_grid: bool = False
     tap_compact: tuple = ()
+    blocked_subm: tuple = ()
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
         fracs = () if (self.channel_major or self.dense_grid) else self.tap_compact
+        halos = () if (self.channel_major or self.dense_grid) else self.blocked_subm
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps),
-                                                len(self.blocks), fracs)
+                                                len(self.blocks), fracs, halos)
         dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
@@ -148,7 +150,7 @@ class PointGroupNet(nn.Module):
                        "edges_dropped": clus.edges_dropped + clus_shift.edges_dropped,
                        "clusters_dropped": clus.clusters_dropped
                        + clus_shift.clusters_dropped}
-        if self.tap_compact:
+        if self.tap_compact or self.blocked_subm:
             out["diag"]["tap_dropped"] = gm.plan_tap_dropped(plan)
         if dctx is not None:
             out["diag"]["grid_dropped"] = dctx.n_dropped
@@ -183,6 +185,7 @@ def make_net(cfg, split: str) -> PointGroupNet:
         channel_major=bool(net_cfg.get("channel_major", False)),
         dense_grid=gm.dense_grid_flag(cfg),
         tap_compact=gm.tap_compact_cfg(net_cfg),
+        blocked_subm=gm.blocked_cfg(net_cfg),
     )
 
 

@@ -200,6 +200,7 @@ class SoftGroupNet(nn.Module):
     packed_grouping: bool = True
     dense_grid: bool = False
     tap_compact: tuple = ()
+    blocked_subm: tuple = ()
 
     @property
     def fg_class_ids(self) -> tuple:
@@ -212,8 +213,9 @@ class SoftGroupNet(nn.Module):
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
         fracs = () if (self.channel_major or self.dense_grid) else self.tap_compact
+        halos = () if (self.channel_major or self.dense_grid) else self.blocked_subm
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps),
-                                                len(self.blocks), fracs)
+                                                len(self.blocks), fracs, halos)
         dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
@@ -244,7 +246,7 @@ class SoftGroupNet(nn.Module):
             rows = compact_rows(rows, r_cap)
         out["proposal_rows"] = rows
         out["diag"] = {**diag, "voxels_dropped": gm.plan_dropped(plan)}
-        if self.tap_compact:
+        if self.tap_compact or self.blocked_subm:
             out["diag"]["tap_dropped"] = gm.plan_tap_dropped(plan)
         if dctx is not None:
             out["diag"]["grid_dropped"] = dctx.n_dropped
@@ -292,6 +294,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         channel_major=bool(net_cfg.get("channel_major", False)),
         dense_grid=gm.dense_grid_flag(cfg),
         tap_compact=gm.tap_compact_cfg(net_cfg),
+        blocked_subm=gm.blocked_cfg(net_cfg),
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),
     )
 

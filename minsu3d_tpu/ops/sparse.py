@@ -50,6 +50,20 @@ class Level(NamedTuple):
     tap_src: Optional[tuple] = None         # 3x (g, E_class) source voxel
     tap_tgt: Optional[tuple] = None         # 3x (g, E_class) target voxel
     tap_dropped: Optional[jax.Array] = None  # () pairs lost to E overflow
+    # blocked-window kernel map (sparse_conv.add_block_meta): neighbor
+    # indices rebased to per-block halo windows so subm convs gather from a
+    # sequentially-sliced (block + 2*halo, C) window instead of paying the
+    # random-HBM row fetch across the whole table (measured 1.7-2.2x on the
+    # conv; tools/microbench_blocked_conv.py). The rare pairs outside the
+    # halo go to a compact fixup list so the result stays exact.
+    blk_li: Optional[jax.Array] = None      # (nblk, B, 27) window-local idx,
+    #                                         sentinel B+2H = appended zero row
+    blk_halo: Optional[jax.Array] = None    # (H,) int8 zeros — carries the
+    #                                         static halo H in its shape
+    fix_src: Optional[jax.Array] = None     # (F,) source voxel (cap = pad)
+    fix_tgt: Optional[jax.Array] = None     # (F,) target voxel (cap = pad)
+    fix_tap: Optional[jax.Array] = None     # (F,) tap id of the pair
+    fix_dropped: Optional[jax.Array] = None  # () pairs lost to F overflow
 
     @property
     def cap(self) -> int:

@@ -183,6 +183,122 @@ def subm_conv_tap(feats: jax.Array, level: Level, weight: jax.Array,
     return (out[:v] + center).astype(feats.dtype)
 
 
+# -- blocked-window submanifold conv ------------------------------------------
+#
+# The dense subm_conv pays the random-HBM row-fetch cost for all 27*V
+# neighbor gathers (~512 B HBM transaction to use a 32 B row). But the voxel
+# table is sorted by (batch, x, y, z), so neighbor indices are NEAR-DIAGONAL:
+# on bench-scale plans the max |nbr - row| is ~2.2k at level 0 and shrinks by
+# ~2x per level (tools: probe via microbench_blocked_conv.py). Processing
+# rows in blocks of B, one sequential dynamic-slice of the (B + 2H, C) halo
+# window per block turns the whole conv's HBM traffic into streams, and the
+# 27-tap gather runs window-local where XLA keeps it on-chip — measured
+# 2.2x (C=16) / 1.5x (C=32) vs the row-gather form on this TPU, bitwise
+# equal (same single (B, 27C) x (27C, Cout) contraction per row).
+#
+# Pairs reaching beyond the halo (dense wall-parallel planes in real scans
+# can exceed any fixed H) go to a compact (src, tgt, tap) fixup list applied
+# by scatter-add, so the conv stays EXACT for any scene; fixup overflow
+# beyond the static capacity is counted in ``fix_dropped`` and surfaced in
+# ``out["diag"]`` like tap/edge overflow. When the fixup list is empty the
+# result is bit-identical to subm_conv.
+
+
+def add_block_meta(level: Level, halo: int, block: int | None = None,
+                   fix_cap: int | None = None) -> Level:
+    """Attach blocked-window conv metadata to a level.
+
+    ``halo`` rows of context on each side of a ``block``-row window (block
+    auto-picked as the largest of 4096/2048/1024 dividing the cap). Neighbor
+    pairs farther than the halo go to a ``fix_cap`` fixup list (default
+    cap/32, floor 1024)."""
+    cap = level.cap
+    if block is None:
+        block = next((b for b in (4096, 2048, 1024, 512, 256, 128, 64)
+                      if cap % b == 0), 0)
+    if not block or cap % block or level.nbr_idx is None:
+        return level
+    if fix_cap is None:
+        fix_cap = max(cap // 32, 1024)
+    s = block + 2 * halo
+    nbr = level.nbr_idx                                   # (V, 27)
+    r = jnp.arange(cap, dtype=jnp.int32)
+    li = nbr - ((r // block) * block)[:, None] + halo     # window-local
+    valid = nbr < cap
+    inwin = valid & (li >= 0) & (li < s)
+    blk_li = jnp.where(inwin, li, s).reshape(cap // block, block, 27)
+    m = (valid & ~inwin).reshape(-1)
+    pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+    total = jnp.where(m.shape[0] > 0, pos[-1] + 1, 0)
+    slot = jnp.where(m & (pos < fix_cap), pos, fix_cap)
+    tgt_all = jnp.broadcast_to(r[:, None], (cap, 27)).reshape(-1)
+    tap_all = jnp.broadcast_to(jnp.arange(27, dtype=jnp.int32)[None, :],
+                               (cap, 27)).reshape(-1)
+    fix_src = jnp.full((fix_cap + 1,), cap, jnp.int32).at[slot].set(
+        jnp.where(m, nbr.reshape(-1), cap))[:fix_cap]
+    fix_tgt = jnp.full((fix_cap + 1,), cap, jnp.int32).at[slot].set(
+        jnp.where(m, tgt_all, cap))[:fix_cap]
+    fix_tap = jnp.full((fix_cap + 1,), 13, jnp.int32).at[slot].set(
+        jnp.where(m, tap_all, 13))[:fix_cap]
+    return level._replace(
+        blk_li=blk_li, blk_halo=jnp.zeros((halo,), jnp.int8),
+        fix_src=fix_src, fix_tgt=fix_tgt, fix_tap=fix_tap,
+        fix_dropped=jnp.maximum(total - fix_cap, 0))
+
+
+def subm_conv_blocked(feats: jax.Array, level: Level, weight: jax.Array,
+                      compute_dtype=None) -> jax.Array:
+    """3^3 submanifold conv over blocked halo windows (add_block_meta).
+
+    Bit-identical to :func:`subm_conv` (tap_group=27) when the fixup list is
+    empty: each output row is the same single 27*Cin-deep f32-accumulated
+    contraction. Fixup contributions (pairs beyond the halo) are added after
+    the window GEMM — exact values, f32 summation order differs for exactly
+    those rows."""
+    v, cin = feats.shape
+    nblk, block, _ = level.blk_li.shape
+    halo = level.blk_halo.shape[0]
+    s_win = block + 2 * halo
+    cout = weight.shape[-1]
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype in (None, jnp.float32, "float32") else None)
+    xw = feats if compute_dtype is None else feats.astype(compute_dtype)
+    w2 = weight.reshape(27 * cin, cout)
+    if compute_dtype is not None:
+        w2 = w2.astype(compute_dtype)
+    xp = jnp.pad(xw, ((halo, halo + 1), (0, 0)))
+    starts = jnp.arange(nblk, dtype=jnp.int32) * block
+    zero = jnp.zeros((1, cin), xw.dtype)
+
+    def step(carry, si):
+        s0, li = si
+        win = jnp.concatenate(
+            [jax.lax.dynamic_slice(xp, (s0, 0), (s_win, cin)), zero])
+        g = win[li]                                       # (B, 27, Cin)
+        ob = jax.lax.dot_general(
+            g.reshape(block, 27 * cin), w2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        return carry, ob
+
+    _, ys = jax.lax.scan(step, 0, (starts, level.blk_li))
+    out = ys.reshape(v, cout)                             # f32
+    if level.fix_src is not None:
+        fe = ext_zero(feats)
+        xs = fe[level.fix_src]                            # (F, Cin)
+        wt = weight[level.fix_tap]                        # (F, Cin, Cout)
+        if compute_dtype is not None:
+            xs = xs.astype(compute_dtype)
+            wt = wt.astype(compute_dtype)
+        contrib = jax.lax.dot_general(
+            xs[:, None, :], wt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision)[:, 0]
+        out = jnp.concatenate([out, jnp.zeros((1, cout), out.dtype)])
+        out = out.at[jnp.minimum(level.fix_tgt, v)].add(contrib)[:v]
+    return out.astype(feats.dtype)
+
+
 # -- channel-major (C, V) variants --------------------------------------------
 #
 # (V, C) activations tile to (8, 128) on TPU, padding the C axis up to 8x at

@@ -219,6 +219,52 @@ class TestSparseConv:
                     src[row, :n], np.asarray(full.tap_src[cls])[row, :n])
         assert int(lv.tap_dropped) == expect > 0
 
+    def test_subm_conv_blocked_matches_dense(self):
+        rng = np.random.default_rng(21)
+        batch, coords, feats, plan, r2v, feats_v = self._plan(rng)
+        level = plan.levels[0]
+        cap = level.cap
+        w = jnp.array(rng.normal(size=(27, 8, 5)).astype(np.float32) * 0.2)
+        dense = np.asarray(sparse_conv.subm_conv(feats_v, level, w))
+
+        # halo covering the whole table: fixup list empty, result EXACT
+        lv = sparse_conv.add_block_meta(level, halo=cap, block=64)
+        assert int(lv.fix_dropped) == 0
+        assert (np.asarray(lv.fix_src) == cap).all()
+        blocked = np.asarray(sparse_conv.subm_conv_blocked(feats_v, lv, w))
+        np.testing.assert_array_equal(blocked, dense)
+
+        # tiny halo: real pairs spill to the fixup list; still exact values
+        lv2 = sparse_conv.add_block_meta(level, halo=4, block=64)
+        assert int(lv2.fix_dropped) == 0          # default cap holds them
+        assert (np.asarray(lv2.fix_src) < cap).any()
+        blocked2 = np.asarray(sparse_conv.subm_conv_blocked(feats_v, lv2, w))
+        np.testing.assert_allclose(blocked2, dense, rtol=1e-5, atol=1e-5)
+
+        # bf16 compute path
+        dense_bf = np.asarray(sparse_conv.subm_conv(
+            feats_v.astype(jnp.bfloat16), level, w, jnp.bfloat16)).astype(np.float32)
+        blk_bf = np.asarray(sparse_conv.subm_conv_blocked(
+            feats_v.astype(jnp.bfloat16), lv, w, jnp.bfloat16)).astype(np.float32)
+        np.testing.assert_allclose(blk_bf, dense_bf, rtol=0.05, atol=0.05)
+
+    def test_blocked_fixup_overflow_surfaces(self):
+        rng = np.random.default_rng(22)
+        # dense plan (extent 8 -> ~60% occupancy): plenty of far pairs
+        batch, coords = random_voxels(rng, 1200, extent=8, batches=2)
+        n = len(batch)
+        cap = 1024
+        plan, _, _ = sparse.build_plan(
+            jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)),
+            jnp.arange(cap) < n, [cap, cap], 2)
+        level = plan.levels[0]
+        # count the real out-of-window pairs with an ample fixup capacity
+        full = sparse_conv.add_block_meta(level, halo=4, block=64, fix_cap=cap * 27)
+        n_far = int((np.asarray(full.fix_src) < cap).sum())
+        assert n_far > 8 and int(full.fix_dropped) == 0
+        lv = sparse_conv.add_block_meta(level, halo=4, block=64, fix_cap=8)
+        assert int(lv.fix_dropped) == n_far - 8
+
     def test_conv_is_differentiable(self):
         rng = np.random.default_rng(5)
         _, _, feats, plan, _, feats_v = self._plan(rng, n=50, cap=64)
@@ -448,4 +494,35 @@ def test_backbone_tap_compact_matches_dense():
     out_tap = net.apply(variables, vfeats, plan_tap, v2p, arrays["point_mask"], False)
     for k in out_dense:
         np.testing.assert_allclose(np.asarray(out_tap[k]), np.asarray(out_dense[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_backbone_blocked_matches_dense():
+    """Full Backbone forward on a plan carrying blocked-window kernel maps
+    must reproduce the dense-plan outputs bit-for-bit when the halos cover
+    every pair (and the fixup path keeps it exact regardless)."""
+    import jax
+    from helpers import tiny_cfg, make_batch
+    from minsu3d_tpu.model import general_model as gm
+    from minsu3d_tpu.model.module import Backbone
+
+    cfg = tiny_cfg()
+    batch, arrays, items = make_batch(cfg, "val", 1, seed=3)
+    n_levels = len(cfg.model.network.blocks)
+    caps = gm.backbone_caps(cfg, "val")
+    plan, v2p, vfeats = gm.build_scene_plan(arrays, caps[:n_levels], n_levels)
+    plan_blk, _, _ = gm.build_scene_plan(arrays, caps[:n_levels], n_levels,
+                                         blocked=(64,) * n_levels)
+    assert any(lv.blk_li is not None for lv in plan_blk.levels)
+    assert int(gm.plan_tap_dropped(plan_blk)) == 0
+
+    net = Backbone(input_channel=6, output_channel=cfg.model.network.m,
+                   block_channels=tuple(cfg.model.network.blocks),
+                   block_reps=cfg.model.network.block_reps, sem_classes=20)
+    variables = net.init(jax.random.PRNGKey(0), vfeats, plan, v2p,
+                         arrays["point_mask"], False)
+    out_dense = net.apply(variables, vfeats, plan, v2p, arrays["point_mask"], False)
+    out_blk = net.apply(variables, vfeats, plan_blk, v2p, arrays["point_mask"], False)
+    for k in out_dense:
+        np.testing.assert_allclose(np.asarray(out_blk[k]), np.asarray(out_dense[k]),
                                    rtol=2e-4, atol=2e-4, err_msg=k)
