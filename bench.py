@@ -56,21 +56,23 @@ PEAK_HBM_BPS = 819e9       # TPU v5e HBM bandwidth
 MODELS = {
     "pointgroup": {
         "baseline_ms": 176.0, "cls": "PointGroup",
-        "ckpts": ["output/Synthetic/PointGroup/synth_convergence/training/epoch_120",
-                  "output/Synthetic/PointGroup/synth_convergence/training/epoch_100"],
+        "ckpts": ["output/golden/pointgroup_epoch_120",
+                  "output/Synthetic/PointGroup/synth_convergence/training/epoch_120"],
         "cluster_overrides": ["data.caps.neighbors=16",
                               "data.caps.bq_edge_factor=28",
                               "data.caps.bq_edge_factor_xyz=8"],
     },
     "hais": {
         "baseline_ms": 165.0, "cls": "HAIS",
-        "ckpts": ["output/Synthetic/HAIS/synth_hais2/training/epoch_100"],
+        "ckpts": ["output/golden/hais_epoch_100",
+                  "output/Synthetic/HAIS/synth_hais2/training/epoch_100"],
         "cluster_overrides": ["data.caps.neighbors=16",
                               "data.caps.bq_edge_factor=28"],
     },
     "softgroup": {
         "baseline_ms": 204.0, "cls": "SoftGroup",
-        "ckpts": ["output/Synthetic/SoftGroup/synth_softgroup/training/epoch_100"],
+        "ckpts": ["output/golden/softgroup_epoch_100",
+                  "output/Synthetic/SoftGroup/synth_softgroup/training/epoch_100"],
         "cluster_overrides": ["data.caps.neighbors=16",
                               "data.caps.bq_edge_factor=56"],
     },

@@ -1,15 +1,18 @@
 #!/bin/bash
-# Golden harness: after the 60+60-epoch run (train_synth_pointgroup.sh then
-# train_synth_pointgroup2.sh), this eval must report
-# AP 0.899 / AP50 1.000 / AP25 1.000 / mIoU 97.1
-# (regression oracle for any clustering/engine change — unit tests alone
+# Golden harness: with the frozen output/golden/pointgroup_epoch_120 snapshot
+# this eval must report AP 0.932 / AP50 1.000 / AP25 1.000 / mIoU 96.866 on
+# TPU (CPU: 0.933/96.869 — f32 platform noise).
+# (Regression oracle for any clustering/engine change — unit tests alone
 # missed a scale-only bug once. History: round-1 60-epoch recipe gave
 # AP 0.427/0.577; round-2 min-label cluster compaction let noise components
 # evict real clusters -> 0.668/0.756; round-3's size-ordered compaction
-# recovered every instance at AP50=1.0 — see BENCH_NOTES.md round 3).
+# recovered every instance at AP50=1.0 (0.899); a round-3 retrain with the
+# wired overflow diagnostics produced the current 0.932 checkpoint, now
+# FROZEN under output/golden/ so training runs can't clobber the oracle —
+# regenerate via train_synth_pointgroup.sh + train_synth_pointgroup2.sh.)
 cd /root/repo
 exec python -u test.py model=pointgroup data=synthetic \
-  model.ckpt_path=output/Synthetic/PointGroup/synth_convergence/training/epoch_120 \
+  model.ckpt_path=output/golden/pointgroup_epoch_120 \
   model.network.prepare_epochs=20 model.trainer.num_sanity_val_steps=0 \
   data.synthetic.train_scenes=12 data.synthetic.val_scenes=3 \
   data.synthetic.num_objects=8 data.synthetic.points_per_object=3000 \
@@ -20,4 +23,4 @@ exec python -u test.py model=pointgroup data=synthetic \
   data.caps.instances=64 data.caps.eval_instances=64 \
   data.caps.clusters=512 data.caps.proposals=128 \
   model.network.cluster.cluster_npoint_thre=50 \
-  model.trainer.precision=float32 experiment_name=synth_convergence
+  model.trainer.precision=float32 experiment_name=synth_convergence "$@"

@@ -4,7 +4,7 @@
 # size-ordered cluster compaction lifted round-2's 0.769/0.782).
 cd /root/repo
 exec python -u test.py model=softgroup data=synthetic \
-  model.ckpt_path=output/Synthetic/SoftGroup/synth_softgroup/training/epoch_100 \
+  model.ckpt_path=output/golden/softgroup_epoch_100 \
   model.network.prepare_epochs=25 model.trainer.num_sanity_val_steps=0 \
   data.synthetic.train_scenes=12 data.synthetic.val_scenes=3 \
   data.synthetic.num_objects=8 data.synthetic.points_per_object=3000 \
@@ -15,4 +15,4 @@ exec python -u test.py model=softgroup data=synthetic \
   data.caps.cluster_units=49152 \
   data.caps.instances=64 data.caps.eval_instances=64 \
   data.caps.clusters=512 data.caps.proposals=128 \
-  experiment_name=synth_softgroup
+  experiment_name=synth_softgroup "$@"

@@ -45,7 +45,7 @@ cfg = load_config([
     "model.network.cluster.cluster_npoint_thre=50",
     "model.trainer.precision=float32", "experiment_name=diag",
 ])
-CKPT = "output/Synthetic/PointGroup/synth_convergence/training/epoch_120"
+CKPT = "output/golden/pointgroup_epoch_120"
 
 ds = DATASETS[cfg.data.dataset](cfg, "val")
 caps = shard_caps(cfg, "val")

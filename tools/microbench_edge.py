@@ -33,7 +33,7 @@ bundle = get_model("PointGroup")
 net = bundle.make_net(cfg, "val")
 import orbax.checkpoint as ocp, os
 restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(
-    "output/Synthetic/PointGroup/synth_convergence/training/epoch_120"))
+    "output/golden/pointgroup_epoch_120"))
 variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
 
 scaps = StaticCaps.from_cfg(cfg, "val")
