@@ -175,6 +175,13 @@ def main() -> None:
         restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
         variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
         print(f"# using trained checkpoint {ckpt}", file=sys.stderr)
+    else:
+        # random-init weights overstate the clustering load AND overflow the
+        # golden-validated capacities — the number would be meaningless in
+        # both directions (round-3 BENCH_r03 was polluted exactly this way)
+        print("# ERROR no trained checkpoint found (looked at "
+              f"{[c for c in candidates if c]}); the result below is stamped "
+              "invalid — restore output/golden/ first", file=sys.stderr)
 
     @jax.jit
     def fwd(variables, batch):
@@ -215,8 +222,18 @@ def main() -> None:
         "vs_baseline": round(scenes_per_sec * spec["baseline_ms"] / 1000.0, 3),
         "timing": "device_compute",
     }
+    # self-validation: a throughput won by dropping work (capacity overflow)
+    # or measured on random-init weights is not the metric — stamp it invalid
+    # so no downstream consumer can mistake it for a real number
     if overflow:
         result["overflow"] = overflow
+        result["invalid"] = True
+        result["invalid_reason"] = "capacity overflow at bench caps (accuracy-affecting)"
+    if not ckpt:
+        result["invalid"] = True
+        result["invalid_reason"] = "no trained checkpoint: random-init weights"
+    else:
+        result["checkpoint"] = ckpt
 
     if os.environ.get("MINSU3D_BENCH_PIPELINE"):
         # steady-state with the host input pipeline in the loop: re-collate
@@ -240,8 +257,9 @@ def main() -> None:
             load_config, base_overrides + spec["cluster_overrides"] + env_overrides,
             scenes, bundle)
 
-    if os.environ.get("MINSU3D_BENCH_STAGES") and model_name == "pointgroup":
-        _stage_report(cfg, net, variables, batches, pack, dt / len(batches))
+    if os.environ.get("MINSU3D_BENCH_STAGES"):
+        _stage_report(cfg, net, variables, batches, pack, dt / len(batches),
+                      model_name)
     print(json.dumps(result))
 
 
@@ -304,16 +322,19 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
     return round(len(batches) * bs / dt, 3)
 
 
-def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
-    """Per-stage timing + XLA cost analysis -> roofline utilization."""
+def _stage_report(cfg, net, variables, batches, pack, full_per_batch,
+                  model_name="pointgroup"):
+    """Per-stage timing + XLA cost analysis -> roofline utilization.
+
+    PointGroup gets the detailed cluster stage (its dual clustering is
+    re-runnable outside the net); HAIS/SoftGroup cluster inside their model
+    forward, so their tables report plan / backbone / heads_rest with
+    heads_rest = full - backbone covering clustering + refinement."""
     from minsu3d_tpu.model import general_model as gm
-    from minsu3d_tpu.model.pointgroup import foreground_mask, merge_clusterings
     from minsu3d_tpu.model.caps import StaticCaps
 
     scaps = StaticCaps.from_cfg(cfg, "val")
     n_levels = len(cfg.model.network.blocks)
-    radius = cfg.model.network.cluster.cluster_radius
-    npoint_thre = cfg.model.network.cluster.cluster_npoint_thre
     ignore = tuple(cfg.data.ignore_classes)
 
     def plan_fn(batch):
@@ -323,28 +344,35 @@ def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
         out = net.apply(variables, batch, False, False)
         return out["semantic_scores"], out["point_offsets"]
 
-    def cluster_fn(batch, sem_scores, offsets):
-        sem_preds = jnp.argmax(sem_scores, axis=1).astype(jnp.int32)
-        obj = foreground_mask(sem_preds, batch["point_mask"], ignore)
-        xyz = batch["point_xyz"]
-        bids = batch["vert_batch_ids"]
-        units, _ = gm.make_units(batch["p2v"], sem_preds, obj, scaps.cluster_units)
-        clus = gm.cluster_step(xyz, bids, obj, sem_preds, radius, scaps, units)
-        clus_shift = gm.cluster_step(xyz + offsets, bids, obj, sem_preds,
-                                     radius, scaps, units)
-        return merge_clusterings([clus, clus_shift], [npoint_thre] * 2,
-                                 xyz.shape[0], scaps.proposals)[0]
-
+    timed = [("plan", plan_fn, None), ("backbone+plan", backbone_fn, None)]
     stages = {}
     b0 = batches[0]
     bb = jax.jit(backbone_fn)
     sem, off = jax.block_until_ready(bb(variables, b0))
 
-    for name, fn, args in [
-        ("plan", plan_fn, (b0,)),
-        ("backbone+plan", backbone_fn, (variables, b0)),
-        ("cluster", cluster_fn, (b0, sem, off)),
-    ]:
+    if model_name == "pointgroup":
+        from minsu3d_tpu.model.pointgroup import foreground_mask, merge_clusterings
+
+        radius = cfg.model.network.cluster.cluster_radius
+        npoint_thre = cfg.model.network.cluster.cluster_npoint_thre
+
+        def cluster_fn(batch, sem_scores, offsets):
+            sem_preds = jnp.argmax(sem_scores, axis=1).astype(jnp.int32)
+            obj = foreground_mask(sem_preds, batch["point_mask"], ignore)
+            xyz = batch["point_xyz"]
+            bids = batch["vert_batch_ids"]
+            units, _ = gm.make_units(batch["p2v"], sem_preds, obj, scaps.cluster_units)
+            clus = gm.cluster_step(xyz, bids, obj, sem_preds, radius, scaps, units)
+            clus_shift = gm.cluster_step(xyz + offsets, bids, obj, sem_preds,
+                                         radius, scaps, units)
+            return merge_clusterings([clus, clus_shift], [npoint_thre] * 2,
+                                     xyz.shape[0], scaps.proposals)[0]
+
+        timed.append(("cluster", cluster_fn, (b0, sem, off)))
+
+    for name, fn, args in timed:
+        if args is None:
+            args = (b0,) if name == "plan" else (variables, b0)
         lowered = jax.jit(fn).lower(*args)
         compiled = lowered.compile()
         jax.block_until_ready(compiled(*args))  # warm
@@ -358,13 +386,15 @@ def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
     stages["plan"]["note"] = "grid-plan build (sorts + kernel maps)"
     t_plan = stages["plan"]["time_s"]
     t_bb = stages["backbone+plan"]["time_s"]
-    t_cl = stages["cluster"]["time_s"]
+    t_cl = stages.get("cluster", {}).get("time_s", 0.0)
     stages["backbone_only"] = {"time_s": max(t_bb - t_plan, 0.0),
                                "flops": stages["backbone+plan"]["flops"] - stages["plan"]["flops"],
                                "bytes": stages["backbone+plan"]["bytes"] - stages["plan"]["bytes"]}
     stages["heads_rest"] = {"time_s": max(full_per_batch - t_bb - t_cl, 0.0),
                             "flops": 0.0, "bytes": 0.0,
-                            "note": "proposal voxelization + ScoreNet + output copy (full - backbone - cluster)"}
+                            "note": ("proposal voxelization + ScoreNet + output copy "
+                                     "(full - backbone - cluster)" if "cluster" in stages
+                                     else "clustering + refinement heads (full - backbone)")}
     stages["full_forward"] = {"time_s": full_per_batch, "flops": 0.0, "bytes": 0.0}
 
     hdr = f"{'stage':<16}{'s/batch':>9}{'s/scene':>9}{'TFLOP/s':>9}{'%MXU':>6}{'GB/s':>8}{'%HBM':>6}"
@@ -379,7 +409,8 @@ def _stage_report(cfg, net, variables, batches, pack, full_per_batch):
               f"{100 * tf * 1e12 / PEAK_BF16_FLOPS:>6.1f}{gbs:>8.1f}"
               f"{100 * gbs * 1e9 / PEAK_HBM_BPS:>6.1f}", file=sys.stderr)
     os.makedirs("output", exist_ok=True)
-    with open("output/bench_stages.json", "w") as f:
+    suffix = "" if model_name == "pointgroup" else f"_{model_name}"
+    with open(f"output/bench_stages{suffix}.json", "w") as f:
         json.dump({"pack": pack, "stages": stages}, f, indent=1)
 
 

@@ -25,7 +25,8 @@ def backbone_caps(cfg, split: str) -> list[int]:
 
 
 def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
-                     tap_fracs: tuple = (), blocked: tuple = ()):
+                     tap_fracs: tuple = (), blocked: tuple = (),
+                     zslice: bool = False):
     """GridPlan over the batch's voxels + per-point voxel index (sorted space).
 
     When the collate shipped a host-built plan (``plan0_khi`` present — see
@@ -94,6 +95,11 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
                 level = sparse_conv.add_block_meta(level, halo)
             levels.append(level)
         plan = sparse.GridPlan(levels=tuple(levels))
+    if zslice:
+        from minsu3d_tpu.ops import sparse_conv
+
+        plan = sparse.GridPlan(levels=tuple(
+            sparse_conv.add_zslice_meta(level) for level in plan.levels))
     r2v_ext = jnp.concatenate([row2voxel, jnp.full((1,), cap0, jnp.int32)])
     v2p = r2v_ext[jnp.minimum(batch["p2v"], row2voxel.shape[0])]
     return plan, v2p, voxel_feats

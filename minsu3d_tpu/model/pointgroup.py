@@ -89,13 +89,15 @@ class PointGroupNet(nn.Module):
     dense_grid: bool = False
     tap_compact: tuple = ()
     blocked_subm: tuple = ()
+    zslice_subm: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
         fracs = () if (self.channel_major or self.dense_grid) else self.tap_compact
         halos = () if (self.channel_major or self.dense_grid) else self.blocked_subm
+        zsl = (not (self.channel_major or self.dense_grid)) and self.zslice_subm
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps),
-                                                len(self.blocks), fracs, halos)
+                                                len(self.blocks), fracs, halos, zsl)
         dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
@@ -186,6 +188,7 @@ def make_net(cfg, split: str) -> PointGroupNet:
         dense_grid=gm.dense_grid_flag(cfg),
         tap_compact=gm.tap_compact_cfg(net_cfg),
         blocked_subm=gm.blocked_cfg(net_cfg),
+        zslice_subm=bool(net_cfg.get("zslice_subm", False)),
     )
 
 

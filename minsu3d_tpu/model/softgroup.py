@@ -20,6 +20,7 @@ from minsu3d_tpu.model import general_model as gm
 from minsu3d_tpu.model.caps import StaticCaps
 from minsu3d_tpu.model.module import Backbone
 from minsu3d_tpu.model.module.dense_blocks import DenseTinyUnet
+from minsu3d_tpu.ops import dense_grid as dg
 from minsu3d_tpu.ops.instance_iou import ProposalRows, get_iou, get_mask_label
 
 
@@ -47,10 +48,15 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
         # class-size-relative threshold (bfs_cluster.cpp:56-187)
         thr = npoint_thr * point_num_avg[class_id]
         ok = clus.valid & (clus.sizes.astype(jnp.float32) >= thr)
-        return carry + dropped, (clus.point_cluster, ok)
+        u, e, c = carry
+        carry = (u + dropped,
+                 e + jnp.asarray(clus.edges_dropped, jnp.int32),
+                 c + jnp.asarray(clus.clusters_dropped, jnp.int32))
+        return carry, (clus.point_cluster, ok)
 
-    units_dropped, (pc_all, ok_all) = jax.lax.scan(
-        per_class, jnp.int32(0), cls_ids)                         # (K, N), (K, C)
+    zero = jnp.int32(0)
+    (units_dropped, edges_dropped, clusters_dropped), (pc_all, ok_all) = jax.lax.scan(
+        per_class, (zero, zero, zero), cls_ids)                   # (K, N), (K, C)
 
     p_cap = caps.proposals
     limit = min(max_proposal_num, p_cap)
@@ -71,7 +77,9 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
         valid=valid.reshape(-1),
         n_proposals=jnp.minimum(jnp.sum(counts), limit),
     )
-    return rows, {"pairs_dropped": jnp.int32(0), "units_dropped": units_dropped}
+    return rows, {"pairs_dropped": jnp.int32(0), "units_dropped": units_dropped,
+                  "edges_dropped": edges_dropped,
+                  "clusters_dropped": clusters_dropped}
 
 
 def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Array,
@@ -178,6 +186,21 @@ def compact_rows(rows: ProposalRows, r_cap: int) -> ProposalRows:
     )
 
 
+def soft_grouping_compacted(*args, r_cap: int, **kwargs):
+    """Per-class-scan soft grouping compacted to ``r_cap`` rows.
+
+    ``soft_grouping`` emits K*N rows (one per class x point); the heads run
+    on a 2N-row budget like the packed path, so valid rows beyond ``r_cap``
+    (a point active for >2 classes once 2N fills) are dropped by the
+    valid-first stable sort in ``compact_rows`` — deterministically, and
+    COUNTED in diag["pairs_dropped"] (the reference enumerates every row,
+    bfs_cluster.cpp:56-187, so any truncation must be observable)."""
+    rows, diag = soft_grouping(*args, **kwargs)
+    n_valid = jnp.sum(rows.valid.astype(jnp.int32))
+    diag["pairs_dropped"] = diag["pairs_dropped"] + jnp.maximum(n_valid - r_cap, 0)
+    return compact_rows(rows, r_cap), diag
+
+
 class SoftGroupNet(nn.Module):
     input_channel: int
     m: int
@@ -201,6 +224,7 @@ class SoftGroupNet(nn.Module):
     dense_grid: bool = False
     tap_compact: tuple = ()
     blocked_subm: tuple = ()
+    zslice_subm: bool = False
 
     @property
     def fg_class_ids(self) -> tuple:
@@ -214,8 +238,9 @@ class SoftGroupNet(nn.Module):
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
         fracs = () if (self.channel_major or self.dense_grid) else self.tap_compact
         halos = () if (self.channel_major or self.dense_grid) else self.blocked_subm
+        zsl = (not (self.channel_major or self.dense_grid)) and self.zslice_subm
         plan, v2p, vfeats = gm.build_scene_plan(batch, list(self.caps.voxel_caps),
-                                                len(self.blocks), fracs, halos)
+                                                len(self.blocks), fracs, halos, zsl)
         dctx = (dg.build_ctx(plan, self.caps.grid_extent, self.caps.grid_batch)
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
@@ -237,13 +262,14 @@ class SoftGroupNet(nn.Module):
                 pair_cap=2 * batch["point_xyz"].shape[0],
                 voxel_size=self.voxel_size)
         else:
-            rows, diag = soft_grouping(
+            n = batch["point_xyz"].shape[0]
+            r_cap = min(n * len(self.fg_class_ids), 2 * n)
+            rows, diag = soft_grouping_compacted(
                 jax.lax.stop_gradient(sem_softmax), shifted, batch["vert_batch_ids"],
                 batch["point_mask"], self.fg_class_ids, self.score_thr, self.radius,
                 self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
-                self.min_npoint, self.max_proposal_num, c, p2v=batch["p2v"])
-            r_cap = min(rows.point_idx.shape[0], 2 * batch["point_xyz"].shape[0])
-            rows = compact_rows(rows, r_cap)
+                self.min_npoint, self.max_proposal_num, c, p2v=batch["p2v"],
+                r_cap=r_cap)
         out["proposal_rows"] = rows
         out["diag"] = {**diag, "voxels_dropped": gm.plan_dropped(plan)}
         if self.tap_compact or self.blocked_subm:
@@ -295,6 +321,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         dense_grid=gm.dense_grid_flag(cfg),
         tap_compact=gm.tap_compact_cfg(net_cfg),
         blocked_subm=gm.blocked_cfg(net_cfg),
+        zslice_subm=bool(net_cfg.get("zslice_subm", False)),
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),
     )
 

@@ -64,6 +64,15 @@ class Level(NamedTuple):
     fix_tgt: Optional[jax.Array] = None     # (F,) target voxel (cap = pad)
     fix_tap: Optional[jax.Array] = None     # (F,) tap id of the pair
     fix_dropped: Optional[jax.Array] = None  # () pairs lost to F overflow
+    # z-run slice kernel map (sparse_conv.add_zslice_meta): the table is
+    # sorted by (batch, x, y, z) with z minor, so for each of the 9 (dx, dy)
+    # offset columns the up-to-3 dz-neighbors of a voxel occupy CONSECUTIVE
+    # rows — one 3-row window gather per column replaces three random row
+    # gathers (27 -> 9 gathered rows per output). Exact by construction.
+    z_base: Optional[jax.Array] = None      # (V, 9) first row of the dz run
+    #                                         (cap = column empty)
+    z_pos: Optional[jax.Array] = None       # (V, 9, 3) window row of tap dz
+    #                                         (0..2; 3 = tap absent)
 
     @property
     def cap(self) -> int:

@@ -299,6 +299,65 @@ def subm_conv_blocked(feats: jax.Array, level: Level, weight: jax.Array,
     return out.astype(feats.dtype)
 
 
+# -- z-run slice submanifold conv ----------------------------------------------
+#
+# The voxel table is sorted by (batch, x, y, z) with z in the LEAST
+# significant key bits (hashing.py::pack), so for a fixed (dx, dy) offset the
+# three dz ∈ {-1, 0, +1} neighbors of a voxel occupy CONSECUTIVE table rows:
+# any voxel keyed strictly between (x', y', z-1) and (x', y', z+1) can only be
+# (x', y', z). One gather from a 3-row sliding window therefore fetches all
+# three dz taps of a column at once — 9 gathered rows per output instead of
+# 27 — and XLA's gather cost on this TPU is per ROW (~3-5 ns), nearly
+# independent of row width (BENCH_NOTES cost model). The window rows are
+# realigned to their dz taps by exact selects, so the result is BIT-IDENTICAL
+# to subm_conv (same single (V, 27*Cin) x (27*Cin, Cout) contraction over the
+# same values).
+
+
+def add_zslice_meta(level: Level) -> Level:
+    """Attach the z-run slice kernel map derived from ``nbr_idx``.
+
+    For each of the 9 (dx, dy) columns (taps k = 3*o + dz_index):
+    ``z_base[v, o]`` = smallest neighbor row of the column (cap if empty) and
+    ``z_pos[v, o, dz]`` = which window row (0..2) holds the dz tap (3 = tap
+    absent). Costs one (V, 27) elementwise pass per level per forward,
+    amortized over every subm conv at that level."""
+    if level.nbr_idx is None:
+        return level
+    cap = level.cap
+    m = level.nbr_idx.reshape(cap, 9, 3)
+    base = jnp.min(m, axis=-1)                                # (V, 9)
+    pos = jnp.where(m < cap, m - base[..., None], 3).astype(jnp.int8)
+    return level._replace(z_base=base, z_pos=pos)
+
+
+def subm_conv_zslice(feats: jax.Array, level: Level, weight: jax.Array,
+                     compute_dtype=None) -> jax.Array:
+    """3^3 submanifold conv over z-run slice windows (add_zslice_meta).
+
+    Bit-identical to :func:`subm_conv` (tap_group=27): the aligned tensor
+    holds exactly the values ``feats[nbr_idx]`` would gather (window rows are
+    routed to their dz taps by pure selects, absent taps select the zero
+    row), and the contraction is the same single f32-accumulated GEMM."""
+    v, cin = feats.shape
+    cout = weight.shape[-1]
+    fe3 = jnp.concatenate([feats, jnp.zeros((3, cin), feats.dtype)], axis=0)
+    # (V+1, 3, C) sliding window: fw[i, r] = feats row i+r (zeros past V);
+    # built by two shifted views — pure streams, no gathers
+    fw = jnp.stack([fe3[:-2], fe3[1:-1], fe3[2:]], axis=1)
+    g = fw[level.z_base]                                      # (V, 9, 3, C)
+    # route window rows to dz taps: aligned[v, o, dz] = g[v, o, pos[v, o, dz]]
+    # (zero when pos == 3). Nested selects — exact, no arithmetic.
+    p = level.z_pos[..., None]                                # (V, 9, 3, 1)
+    zero = jnp.zeros((1, 1, 1, cin), feats.dtype)
+    aligned = jnp.where(p == 0, g[:, :, 0:1, :],
+                        jnp.where(p == 1, g[:, :, 1:2, :],
+                                  jnp.where(p == 2, g[:, :, 2:3, :], zero)))
+    out = _mm(aligned.reshape(v, 27 * cin), weight.reshape(27 * cin, cout),
+              compute_dtype)
+    return out.astype(feats.dtype)
+
+
 # -- channel-major (C, V) variants --------------------------------------------
 #
 # (V, C) activations tile to (8, 128) on TPU, padding the C axis up to 8x at

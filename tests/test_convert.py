@@ -218,6 +218,103 @@ def test_k3_tap_permutation_numerics():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def _sparse_plan(rng, n=60, cap=96, s=6, ci=3):
+    """Small 2-level sparse plan + dense volume holding the same features."""
+    from minsu3d_tpu.ops import sparse
+
+    from test_sparse import pad  # noqa: PLC0415
+
+    coords = rng.choice(s ** 3, size=n, replace=False)
+    coords = np.stack([coords // (s * s), (coords // s) % s, coords % s],
+                      axis=1).astype(np.int32)
+    batch = np.zeros(n, np.int32)
+    feats = rng.normal(size=(n, ci)).astype(np.float32)
+    plan, _, feats_v = sparse.build_plan(
+        jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)),
+        jnp.arange(cap) < n, [cap, cap], 2, jnp.array(pad(feats, cap)))
+    vol = np.zeros((1, ci, s, s, s), np.float32)  # torch NCDHW, D=x H=y W=z
+    # advanced indexing moves the indexed axes to the FRONT: result (n, ci)
+    vol[0, :, coords[:, 0], coords[:, 1], coords[:, 2]] = feats
+    return plan, feats_v, vol, s
+
+
+def _torch_w3(w_me, tap_order):
+    """Unpack an ME (27, ci, co) kernel into torch conv3d (co, ci, 3, 3, 3)
+    under the given tap-enumeration rule. ME stride-1 conv evaluates
+    out(x) = sum_k w[k] * in(x + off_k) at every input coordinate — dense
+    cross-correlation (= torch conv3d, padding 1) read back at the inputs."""
+    w = np.zeros((w_me.shape[2], w_me.shape[1], 3, 3, 3), np.float32)
+    for dx in range(3):
+        for dy in range(3):
+            for dz in range(3):
+                k = (dx + 3 * dy + 9 * dz) if tap_order == "x-fastest" \
+                    else (9 * dx + 3 * dy + dz)
+                w[:, :, dx, dy, dz] = w_me[k].T
+    return torch.from_numpy(w)
+
+
+@pytest.mark.parametrize("tap_order", ["x-fastest", "z-fastest"])
+def test_sparse_subm_conv_matches_torch_reference(tap_order):
+    """Round-trip lock for the ME tap-order assumption (no egress: ME itself
+    is not installed, so this pins SELF-consistency): a synthetic ME-layout
+    kernel packed under ``tap_order`` and pushed through the converter's
+    conv_k3 must make our sparse subm_conv reproduce the torch conv3d
+    forward exactly — and the OPPOSITE tap order must NOT (asymmetric
+    kernel), so the default can't silently be the flipped one."""
+    import torch.nn.functional as F
+    from minsu3d_tpu.ops import sparse_conv
+
+    rng = np.random.default_rng(7)
+    plan, feats_v, vol, s = _sparse_plan(rng)
+    ci, co = 3, 4
+    w_me = rng.normal(size=(27, ci, co)).astype(np.float32)
+
+    want_vol = F.conv3d(torch.from_numpy(vol), _torch_w3(w_me, tap_order),
+                        padding=1).numpy()  # (1, co, s, s, s)
+    lvl = plan.levels[0]
+    v = np.asarray(lvl.valid)
+    c = np.asarray(lvl.coords)[v]
+    # scalar 0 + coord arrays are non-adjacent advanced indices -> (n, co)
+    want = want_vol[0, :, c[:, 0], c[:, 1], c[:, 2]]
+
+    got = np.asarray(sparse_conv.subm_conv(
+        feats_v, lvl, jnp.asarray(conv_k3(w_me, tap_order, dense=False))))[v]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    wrong = "z-fastest" if tap_order == "x-fastest" else "x-fastest"
+    got_wrong = np.asarray(sparse_conv.subm_conv(
+        feats_v, lvl, jnp.asarray(conv_k3(w_me, wrong, dense=False))))[v]
+    assert np.abs(got_wrong - want).max() > 1e-2
+
+
+def test_sparse_down_conv_matches_torch_reference():
+    """Same lock for the k2s2 downsampling conv: ME stride-2 conv is
+    out(p) = sum_k w[k] * in(2p + off_k) = torch conv3d(stride=2)."""
+    import torch.nn.functional as F
+    from minsu3d_tpu.ops import sparse_conv
+
+    rng = np.random.default_rng(8)
+    plan, feats_v, vol, s = _sparse_plan(rng)
+    ci, co = 3, 4
+    w_me = rng.normal(size=(8, ci, co)).astype(np.float32)
+    w_t = np.zeros((co, ci, 2, 2, 2), np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w_t[:, :, dx, dy, dz] = w_me[dx + 2 * dy + 4 * dz].T
+    want_vol = F.conv3d(torch.from_numpy(vol), torch.from_numpy(w_t),
+                        stride=2).numpy()
+
+    child, parent = plan.levels[0], plan.levels[1]
+    got = np.asarray(sparse_conv.down_conv(
+        feats_v, child, parent.cap,
+        jnp.asarray(conv_k2(w_me, "x-fastest", dense=False))))
+    pv = np.asarray(parent.valid)
+    pc = np.asarray(parent.coords)[pv]
+    want = want_vol[0, :, pc[:, 0], pc[:, 1], pc[:, 2]]
+    np.testing.assert_allclose(got[pv], want, rtol=1e-4, atol=1e-4)
+
+
 def test_k2_tap_permutation_numerics():
     """k2s2 strided conv: ME out(p) = sum_k w[k] * in(2p + off_k)."""
     from minsu3d_tpu.model.module.dense_blocks import _conv3d

@@ -149,38 +149,52 @@ def test_backbone_grid_matches_row_major():
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_pointgroup_forward_dense_grid_matches(capfd=None):
-    """Full PointGroup train-mode forward (batch of 2 scenes) with
-    model.network.dense_grid=True must match the sparse default: same
-    losses to float tolerance, grid_dropped=0 at a sufficient extent."""
+import pytest
+
+
+@pytest.mark.parametrize("model", ["pointgroup", "hais", "softgroup"])
+@pytest.mark.parametrize("backend", ["dense_grid", "channel_major"])
+def test_model_forward_backend_matches(model, backend):
+    """Every model's optional backbone backends (model.network.dense_grid,
+    model.network.channel_major) must match the sparse row-major default:
+    full train-mode forward (batch of 2 scenes), same params, same losses to
+    float tolerance; dense grid additionally reports grid_dropped=0 at a
+    sufficient extent. Guards e.g. the round-3 SoftGroup dense-grid
+    NameError (dg import was missing from softgroup.py)."""
     import jax
     from helpers import tiny_cfg, make_batch
     from minsu3d_tpu.model import get_model
     from minsu3d_tpu.model.caps import StaticCaps
 
-    extra = ["model.network.dense_grid=True", "data.caps.grid=[224,224,224]",
-             "model.trainer.precision=float32"]
-    cfg_g = tiny_cfg("pointgroup", extra=extra)
-    cfg_s = tiny_cfg("pointgroup", extra=["model.trainer.precision=float32"])
-    batch, arrays, items = make_batch(cfg_g, "train", 2, room=2.5)
-    bundle = get_model("PointGroup")
-    caps = StaticCaps.from_cfg(cfg_g, "train")
-    assert caps.grid_extent == (224, 224, 224) and caps.grid_batch == 2
+    if backend == "dense_grid":
+        extra = ["model.network.dense_grid=True", "data.caps.grid=[224,224,224]",
+                 "model.trainer.precision=float32"]
+    else:
+        extra = ["model.network.channel_major=True", "model.trainer.precision=float32"]
+    cfg_b = tiny_cfg(model, extra=extra)
+    cfg_s = tiny_cfg(model, extra=["model.trainer.precision=float32"])
+    batch, arrays, items = make_batch(cfg_b, "train", 2, room=2.5)
+    bundle = get_model({"pointgroup": "PointGroup", "hais": "HAIS",
+                        "softgroup": "SoftGroup"}[model])
+    caps = StaticCaps.from_cfg(cfg_b, "train")
+    fflags = bundle.forward_flags(cfg_b, 999, True)
+    lflags = bundle.loss_flags(cfg_b, 999)
 
     key = jax.random.PRNGKey(0)
     net_s = bundle.make_net(cfg_s, "train")
-    net_g = bundle.make_net(cfg_g, "train")
+    net_b = bundle.make_net(cfg_b, "train")
     variables = jax.jit(lambda k, b: net_s.init(
-        {"params": k, "cluster": k}, b, True, True))(key, arrays)
+        {"params": k, "cluster": k}, b, True, True, **fflags))(key, arrays)
 
     def run(net, cfg):
-        out, _ = net.apply(variables, arrays, True, True,
+        out, _ = net.apply(variables, arrays, True, True, **fflags,
                            rngs={"cluster": key}, mutable=["batch_stats"])
-        losses = bundle.losses(cfg, caps, arrays, out, True)
+        losses = bundle.losses(cfg, caps, arrays, out, True, **lflags)
         return out, {k: float(v) for k, v in losses.items()}
 
     out_s, ls = run(net_s, cfg_s)
-    out_g, lg = run(net_g, cfg_g)
-    assert int(out_g["diag"]["grid_dropped"]) == 0
+    out_b, lb = run(net_b, cfg_b)
+    if backend == "dense_grid":
+        assert int(out_b["diag"]["grid_dropped"]) == 0
     for k in ls:
-        np.testing.assert_allclose(lg[k], ls[k], rtol=1e-3, atol=1e-4, err_msg=k)
+        np.testing.assert_allclose(lb[k], ls[k], rtol=1e-3, atol=1e-4, err_msg=k)

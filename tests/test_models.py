@@ -206,3 +206,33 @@ def test_softgroup_packed_surfaces_dropped_pairs():
         0.05, jnp.full(20, 100.0), 20, 200, caps,
         jnp.arange(n, dtype=jnp.int32), pair_cap=2 * n)
     assert int(diag["pairs_dropped"]) == n  # 3N active - 2N cap
+
+
+def test_softgroup_scan_compaction_counts_drops():
+    """The NON-packed (per-class scan) path must count rows lost to the 2N
+    compaction budget too: with 3 classes above score_thr on every point,
+    soft_grouping emits 3N valid rows and compact_rows keeps 2N."""
+    from minsu3d_tpu.model.softgroup import soft_grouping_compacted
+    from minsu3d_tpu.model.caps import StaticCaps
+
+    cfg = tiny_cfg("softgroup")
+    caps = StaticCaps.from_cfg(cfg, "train")._replace(unit_clustering=False)
+    n = 256
+    # 1-D chain, spacing 0.01 < radius 0.04: connected, but each point sees
+    # only ~8 neighbors so the edge buffer (edge_factor*N) can't overflow —
+    # a gaussian blob makes all-pairs edges and fragments via edges_dropped.
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = np.arange(n, dtype=np.float32) * 0.01
+    softmax = np.zeros((n, 20), np.float32)
+    softmax[:, 2] = 0.4
+    softmax[:, 3] = 0.3
+    softmax[:, 4] = 0.25  # 3 active classes/point at score_thr=0.2
+    rows, diag = soft_grouping_compacted(
+        jnp.array(softmax), jnp.array(pts), jnp.zeros(n, jnp.int32),
+        jnp.ones(n, bool), tuple(range(2, 20)), 0.2, 0.04,
+        0.05, jnp.full(20, 100.0), 20, 200, caps, r_cap=2 * n)
+    assert int(diag["pairs_dropped"]) == n  # 3N valid - 2N cap
+    assert rows.point_idx.shape[0] == 2 * n
+    assert bool(np.asarray(rows.valid).all())  # kept rows are the valid ones
+    for k in ("edges_dropped", "clusters_dropped", "units_dropped"):
+        assert int(diag[k]) == 0, (k, diag)

@@ -248,6 +248,40 @@ class TestSparseConv:
             feats_v.astype(jnp.bfloat16), lv, w, jnp.bfloat16)).astype(np.float32)
         np.testing.assert_allclose(blk_bf, dense_bf, rtol=0.05, atol=0.05)
 
+    def test_subm_conv_zslice_matches_dense(self):
+        """z-run slice conv is BIT-identical to the dense gather form: the
+        table is sorted (batch, x, y, z) with z minor, so each (dx, dy)
+        column's dz-neighbors occupy consecutive rows (sparse_conv
+        add_zslice_meta invariant), and the contraction is the same single
+        (V, 27*Cin) GEMM over the same values."""
+        rng = np.random.default_rng(23)
+        # dense-ish plan (extent 8) maximizes full 3-runs; also run a sparse
+        # one (extent 32) where most columns have 0-1 neighbors
+        for extent, seed in ((8, 0), (32, 1)):
+            batch, coords = random_voxels(rng, 700, extent=extent, batches=2)
+            n = len(batch)
+            cap = 1024
+            feats = rng.normal(size=(n, 8)).astype(np.float32)
+            plan, _, feats_v = sparse.build_plan(
+                jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)),
+                jnp.arange(cap) < n, [cap, cap], 2, jnp.array(pad(feats, cap)))
+            level = plan.levels[0]
+            w = jnp.array(rng.normal(size=(27, 8, 5)).astype(np.float32) * 0.2)
+            lv = sparse_conv.add_zslice_meta(level)
+            # invariant: every present tap sits within its column's 3-row window
+            pos = np.asarray(lv.z_pos)
+            nbr = np.asarray(level.nbr_idx).reshape(cap, 9, 3)
+            assert ((pos[nbr < cap] >= 0) & (pos[nbr < cap] <= 2)).all()
+            dense = np.asarray(sparse_conv.subm_conv(feats_v, level, w))
+            zs = np.asarray(sparse_conv.subm_conv_zslice(feats_v, lv, w))
+            np.testing.assert_array_equal(zs, dense)
+            # bf16 compute path: identical contraction -> bitwise equal too
+            dense_bf = np.asarray(sparse_conv.subm_conv(
+                feats_v.astype(jnp.bfloat16), level, w, jnp.bfloat16))
+            zs_bf = np.asarray(sparse_conv.subm_conv_zslice(
+                feats_v.astype(jnp.bfloat16), lv, w, jnp.bfloat16))
+            np.testing.assert_array_equal(zs_bf, dense_bf)
+
     def test_blocked_fixup_overflow_surfaces(self):
         rng = np.random.default_rng(22)
         # dense plan (extent 8 -> ~60% occupancy): plenty of far pairs

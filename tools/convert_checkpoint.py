@@ -26,9 +26,13 @@ Layout conventions handled:
     cannot be re-derived from files on disk here; the order above is from
     the public ME source. This framework enumerates taps z-fastest
     (ops/sparse.py::KERNEL_OFFSETS) and stores dense head kernels as
-    (kx, ky, kz, in, out). ``--tap-order z-fastest`` flips the assumption
-    if a real-checkpoint AP parity run ever disagrees (the decisive check
-    needs the released ckpts, unavailable in this zero-egress image).
+    (kx, ky, kz, in, out). The permutation + direction convention is LOCKED
+    end-to-end by tests/test_convert.py::test_sparse_subm_conv_matches_
+    torch_reference: an ME-layout kernel packed under either enumeration
+    rule round-trips through conv_k3 to a bit-matching sparse forward, and
+    the opposite order provably does NOT. Residual risk: only a real
+    released checkpoint can confirm ME's iterator is x-fastest as the
+    public source reads; ``--tap-order z-fastest`` flips it if so.
   * ME kernel_size=1 convs store a 2-D (in, out) kernel.
   * MinkowskiBatchNorm wraps ``nn.BatchNorm1d`` as attribute ``bn``; plain
     point-head BatchNorm1d (backbone.py:22-33) has no ``bn`` infix.
