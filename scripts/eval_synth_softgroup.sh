@@ -1,7 +1,9 @@
 #!/bin/bash
-# SoftGroup golden harness: after train_synth_softgroup.sh (100 epochs), this
-# eval must report AP 0.924 / AP50 0.949 / mIoU 96.5 (epoch-100 ckpt;
-# size-ordered cluster compaction lifted round-2's 0.769/0.782).
+# SoftGroup golden harness: with the frozen output/golden/softgroup_epoch_100
+# snapshot this eval must report AP 0.983 / AP50 1.000 / AP25 1.000 /
+# mIoU 96.688 on TPU with NO capacity-overflow warning (round-4 retrain,
+# committed to git; caps re-sized clean: eval_voxels 49152->65536,
+# clusters 512->16384).
 cd /root/repo
 exec python -u test.py model=softgroup data=synthetic \
   model.ckpt_path=output/golden/softgroup_epoch_100 \
@@ -11,8 +13,8 @@ exec python -u test.py model=softgroup data=synthetic \
   data.synthetic.floor_points=16000 \
   data.batch_size=2 \
   data.caps.points=98304 data.caps.voxels=90112 \
-  data.caps.eval_points=57344 data.caps.eval_voxels=49152 \
+  data.caps.eval_points=57344 data.caps.eval_voxels=65536 \
   data.caps.cluster_units=49152 \
   data.caps.instances=64 data.caps.eval_instances=64 \
-  data.caps.clusters=512 data.caps.proposals=128 \
+  data.caps.clusters=16384 data.caps.proposals=128 \
   experiment_name=synth_softgroup "$@"
