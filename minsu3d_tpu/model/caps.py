@@ -49,6 +49,15 @@ class StaticCaps(NamedTuple):
                                 # ops/dense_grid.py). Voxels beyond it are
                                 # dropped and surfaced as diag grid_dropped
     grid_batch: int = 1         # scenes per shard (the dense grid's B axis)
+    bq_grid_max_m: int = 1      # use the direct single-occupancy grid ball
+                                # query (ops/ballquery.py::ball_query_grid)
+                                # when radius <= this many unit-grid cells:
+                                # m=1 is bit-identical to the old fused W=1
+                                # path; m=2 would replace the shifted grid's
+                                # edge-buffer path (semantics-equal, nothing
+                                # dropped) but measures SLOWER there — the
+                                # wide-offset union sort dominates
+                                # (tools/microbench_cluster4.py round 4).
 
     @classmethod
     def from_cfg(cls, cfg, split: str) -> "StaticCaps":
@@ -78,4 +87,5 @@ class StaticCaps(NamedTuple):
             shifted_grid_cell=float(caps.get("cluster_cell_shifted", 0.0)),
             grid_extent=tuple(int(g) for g in (caps.get("grid", None) or ())),
             grid_batch=int(cfg.data.batch_size) if split == "train" else 1,
+            bq_grid_max_m=int(caps.get("bq_grid_max_m", 1)),
         )

@@ -10,6 +10,8 @@ Contains the jittable building blocks every model composes:
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -212,14 +214,22 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
     if unit_id is not None and caps.unit_clustering:
         if u_cap is None:
             u_cap = caps.cluster_units
-        single_unit_cells = grid_cell > 0 and abs(grid_cell - radius) < 1e-9
+        # single-occupancy unit grids take the DIRECT grid query (one
+        # exact-match lookup per pruned cell offset, no run/window/edge
+        # machinery, nothing dropped) whenever radius <= bq_grid_max_m cells:
+        # m=1 is bit-identical to the old fused W=1 path, m=2 replaces the
+        # edge-buffer path (golden-AP validated; set bq_grid_max_m=1 to
+        # restore the edge path for the shifted grid)
+        m_cells = math.ceil(radius / grid_cell - 1e-9) if grid_cell > 0 else 99
+        grid_direct = grid_cell if m_cells <= caps.bq_grid_max_m else 0.0
         # units aggregate ~(r/voxel)^3 points, so much smaller K/window suffice
         return cluster_units(coords, batch_ids, active, group, unit_id,
                              u_cap, radius, max(caps.neighbors // 2, 8),
-                             1 if single_unit_cells else max(caps.window // 4, 8),
+                             max(caps.window // 4, 8),
                              caps.clusters, caps.cc_iters,
                              half_space=caps.half_space,
-                             edge_cap=0 if single_unit_cells else ef * u_cap)
+                             edge_cap=0 if grid_direct else ef * u_cap,
+                             grid_cell=grid_direct)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
                           half_space=caps.half_space,

@@ -66,22 +66,41 @@ def hierarchical_aggregation(clus: Clusters, shifted: jax.Array, batch_ids: jax.
     n_props = jnp.minimum(n_kept + jnp.sum(primary.astype(jnp.int32)), p_cap)
 
     if use_set_aggr:
-        # fragment -> nearest same-class same-batch primary (dense argmin)
-        d = centers[:, None, :] - centers[None, :, :]
-        dist2 = jnp.sum(d * d, axis=-1)
-        bad = (~fragment[:, None]) | (~primary[None, :]) | \
-              (cls[:, None] != cls[None, :]) | (cbatch[:, None] != cbatch[None, :])
+        # fragment -> nearest same-class same-batch primary. Primaries are
+        # real objects (size >= 0.3 * class mean), so there are at most a few
+        # hundred: COMPACT them to a static cap first and run the argmin as
+        # (C, P2) instead of (C, C) — the dense form materialized a C^2
+        # distance matrix, which at the zero-overflow clusters cap (16k)
+        # is gigabytes. Compact rank order == cluster-id order, so argmin
+        # tie-breaking (first index) is BIT-IDENTICAL to the dense form
+        # whenever primaries fit (they are bounded by real instance counts;
+        # overflow would only ever DISABLE absorption into the dropped
+        # primaries, and p_cap overflow already surfaces via n_proposals).
+        p2 = min(c_cap, 512)
+        pr_rank = jnp.cumsum(primary.astype(jnp.int32)) - 1
+        slot = jnp.where(primary & (pr_rank < p2), pr_rank, p2)
+        centers_p = jnp.zeros((p2 + 1, 3), jnp.float32).at[slot].set(centers)[:p2]
+        cls_p = jnp.full((p2 + 1,), -2, jnp.int32).at[slot].set(cls)[:p2]
+        cbatch_p = jnp.full((p2 + 1,), -2, jnp.int32).at[slot].set(cbatch)[:p2]
+        size_p = jnp.zeros((p2 + 1,), jnp.float32).at[slot].set(size_f)[:p2]
+        prop_p = jnp.full((p2 + 1,), p_cap, jnp.int32).at[slot].set(prim_prop)[:p2]
+        live_p = jnp.zeros((p2 + 1,), bool).at[slot].set(primary)[:p2]
+
+        d = centers[:, None, :] - centers_p[None, :, :]
+        dist2 = jnp.sum(d * d, axis=-1)                          # (C, P2)
+        bad = (~fragment[:, None]) | (~live_p[None, :]) | \
+              (cls[:, None] != cls_p[None, :]) | (cbatch[:, None] != cbatch_p[None, :])
         dist2 = jnp.where(bad, jnp.float32(1e10), dist2)
-        nearest = jnp.argmin(dist2, axis=1).astype(jnp.int32)   # (C,)
+        nearest = jnp.argmin(dist2, axis=1).astype(jnp.int32)   # (C,) in [0, P2)
         near_d2 = jnp.min(dist2, axis=1)
-        prim_size = size_f[nearest]
+        prim_size = size_p[nearest]
         r_size = 0.01 * jnp.sqrt(prim_size)
         r_cls = radius_avg[cls_c]
         r_set = jnp.maximum(r_size, r_cls)
         absorbed = fragment & (near_d2 < r_set * r_set) & (near_d2 < 1e9)
         # primary-path proposal of each cluster
         prim_path = jnp.where(primary, prim_prop,
-                              jnp.where(absorbed, prim_prop[nearest], p_cap))
+                              jnp.where(absorbed, prop_p[nearest], p_cap))
     else:
         prim_path = prim_prop
 

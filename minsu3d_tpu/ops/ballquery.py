@@ -173,6 +173,98 @@ def ball_query(coords: jax.Array, batch: jax.Array, valid: jax.Array,
     return jnp.where(nbr_valid, nbr_idx, n), nbr_valid
 
 
+def ball_query_grid(coords: jax.Array, batch: jax.Array, valid: jax.Array,
+                    radius: float, k: int, cell_size: float,
+                    half_space: bool = False, group: jax.Array | None = None):
+    """Ball query for SINGLE-OCCUPANCY grids: every (batch, group, cell) holds
+    at most one point (the unit-grid centroids of make_units_grid — a
+    centroid cannot leave its own cell).
+
+    With occupancy <= 1 there are no candidate RUNS: a neighbor cell either
+    contributes its one unit or nothing, so presence is ONE exact-match
+    sorted-union lookup over all cell offsets within Chebyshev distance
+    ceil(radius/cell_size) (statically pruned to offsets whose nearest-corner
+    distance is <= radius). No run-end lookup, no window scan, no edge
+    buffer — NOTHING is ever dropped beyond the K cap, eliminating the
+    edge_factor tuning knob and its overflow failure mode.
+
+    Candidate order per point is offset-enumeration order, which for
+    cell_size == radius (m=1) equals the fused W=1 schedule's
+    window-position-major order: the result is BIT-IDENTICAL to
+    ``ball_query(..., window=1, fused=True)`` there
+    (tests/test_cluster.py::test_grid_matches_window1).
+
+    Returns (nbr_idx (N, k) int32, nbr_valid (N, k) bool). Includes self.
+    """
+    import numpy as np
+
+    n = coords.shape[0]
+    m = int(np.ceil(radius / cell_size - 1e-9))
+    cell = jnp.floor(coords / cell_size).astype(jnp.int32) + _CELL_OFFSET
+    cell = jnp.clip(cell, 0, hs.COORD_MAX - 1)
+    key_hi = batch.astype(jnp.int32)
+    if group is not None:
+        key_hi = (key_hi << _GROUP_SHIFT) | jnp.clip(group.astype(jnp.int32),
+                                                     0, (1 << _GROUP_SHIFT) - 1)
+    khi, klo = hs.pack(key_hi, cell)
+    khi, klo = hs.mask_invalid(khi, klo, valid)
+    perm = hs.lexsort_pairs(khi, klo).astype(jnp.int32)
+    s_hi, s_lo = khi[perm], klo[perm]
+
+    r2f = radius * radius
+    offsets = [(dx, dy, dz)
+               for dx in range(-m, m + 1)
+               for dy in range(-m, m + 1)
+               for dz in range(-m, m + 1)
+               # nearest-corner pruning: two points in cells offset by d are
+               # at least (|d_a|-1)*cell apart along axis a
+               if sum((max(abs(d) - 1, 0) * cell_size) ** 2
+                      for d in (dx, dy, dz)) <= r2f]
+    if half_space:
+        offsets = [o for o in offsets if o >= (0, 0, 0)]
+    offs = jnp.array(offsets, jnp.int32)                       # (n_off, 3)
+    n_off = len(offsets)
+
+    q_cell = cell[None, :, :] + offs[:, None, :]               # (n_off, N, 3)
+    in_rng = jnp.all((q_cell >= 0) & (q_cell < hs.COORD_MAX), axis=-1) & valid[None, :]
+    q_hi, q_lo = hs.pack(jnp.broadcast_to(key_hi[None, :], (n_off, n)),
+                         jnp.clip(q_cell, 0, hs.COORD_MAX - 1))
+    q_hi, q_lo = hs.mask_invalid(q_hi, q_lo, in_rng)
+    idx, found, _ = hs.lookup_sorted_union(s_hi, s_lo,
+                                           q_hi.reshape(-1), q_lo.reshape(-1))
+    pos_c = jnp.minimum(idx, n).reshape(n_off, n)
+    found = found.reshape(n_off, n) & in_rng
+
+    # candidate fetch: ONE channel-major (4, V+1) column gather fetches
+    # x/y/z/original-index together (same trick as the fused/edge paths)
+    bi = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    bf = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    coords_s = coords[perm]
+    cand_tbl = jnp.concatenate([
+        jnp.stack([bi(coords_s[:, 0]), bi(coords_s[:, 1]),
+                   bi(coords_s[:, 2]), perm], 0),
+        jnp.array([[0], [0], [0], [n]], jnp.int32)], axis=1)   # (4, V+1)
+    cg = cand_tbl[:, pos_c]                                    # (4, n_off, N)
+    dx = bf(cg[0]) - coords[None, :, 0]
+    dy = bf(cg[1]) - coords[None, :, 1]
+    dz = bf(cg[2]) - coords[None, :, 2]
+    r2 = jnp.float32(r2f)
+    ok = found & (dx * dx + dy * dy + dz * dz <= r2)
+    cand = jnp.where(ok, cg[3], n)                             # (n_off, N)
+
+    # K-cap in offset-enumeration order (== window-position-major at W=1)
+    ok_t = ok.T                                                # (N, n_off)
+    cand_t = cand.T
+    col = jnp.cumsum(ok_t.astype(jnp.int32), axis=1) - 1
+    store = ok_t & (col < k)
+    col_c = jnp.where(store, col, k)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], col_c.shape)
+    tbl = jnp.full((n, k + 1), n, jnp.int32).at[rows, col_c].set(
+        jnp.where(store, cand_t, n), mode="drop")
+    nbr_idx = tbl[:, :k]
+    return nbr_idx, nbr_idx < n
+
+
 def ball_query_edge(coords: jax.Array, batch: jax.Array, valid: jax.Array,
                     radius: float, k: int, window: int, edge_cap: int,
                     half_space: bool = False, group: jax.Array | None = None):

@@ -232,7 +232,7 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                   group: jax.Array | None, unit_id: jax.Array, u_cap: int,
                   radius: float, k: int, window: int, c_cap: int,
                   max_iters: int = 64, half_space: bool = False,
-                  edge_cap: int = 0) -> Clusters:
+                  edge_cap: int = 0, grid_cell: float = 0.0) -> Clusters:
     """Connected components at unit granularity (TPU-first redesign).
 
     The reference BFS-clusters raw points; at 2cm voxels and a 3cm ball
@@ -246,13 +246,22 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
     u_coords, u_batch, u_active, u_group, uid, u_counts = _unit_table(
         coords, batch, active, group, unit_id, u_cap)
 
-    from minsu3d_tpu.ops.ballquery import ball_query, ball_query_edge
+    from minsu3d_tpu.ops.ballquery import (ball_query, ball_query_edge,
+                                           ball_query_grid)
 
     # half_space halves the scan; safe at production caps now that group keys
     # keep runs short (50k-point scale test: 0 splits/merges at K16/W8).
     # Confirmed bit-identical on the golden-AP eval (scripts/
     # eval_synth_pointgroup.sh) — config defaults bq_half_space: true
-    if edge_cap:
+    if grid_cell > 0:
+        # unit-grid centroids are single-occupancy in their own cells: the
+        # direct grid query replaces run-bound/window/edge machinery with one
+        # exact-match lookup, and nothing beyond the K cap is ever dropped
+        nbr_idx, nbr_valid = ball_query_grid(
+            u_coords, u_batch, u_active, radius, k, grid_cell,
+            half_space=half_space, group=u_group)
+        dropped = jnp.int32(0)
+    elif edge_cap:
         nbr_idx, nbr_valid, dropped = ball_query_edge(
             u_coords, u_batch, u_active, radius, k, window, edge_cap,
             half_space=half_space, group=u_group)

@@ -347,6 +347,66 @@ class TestUnitClustering:
             assert int(edge.count) == int(w1.count)
             assert int(edge.edges_dropped) == 0
 
+    def test_grid_matches_window1(self):
+        """Direct single-occupancy grid query (ball_query_grid, m=1) must be
+        BIT-IDENTICAL to the fused W=1 schedule: same offsets in the same
+        enumeration order, same presence + distance tests, same K-cap."""
+        from minsu3d_tpu.model.general_model import make_units_grid
+        from minsu3d_tpu.ops.cluster import cluster_units
+
+        rng = np.random.default_rng(11)
+        pts = np.concatenate([c + rng.normal(0, 0.03, (200, 3))
+                              for c in rng.uniform(0, 3, (6, 3))]).astype(np.float32)
+        n = len(pts)
+        batch = jnp.array(rng.integers(0, 2, n), jnp.int32)
+        valid = jnp.array(rng.random(n) > 0.05)
+        group = jnp.array(rng.integers(0, 3, n), jnp.int32)
+        cap, r = 768, 0.06
+        units, _ = make_units_grid(batch, jnp.array(pts), group, valid, cap, r)
+
+        for k in (4, 8):  # k=4 exercises K-cap ordering agreement
+            w1 = cluster_units(jnp.array(pts), batch, valid, group, units,
+                               cap, r, k, 1, 64, 64, half_space=True,
+                               edge_cap=0)
+            gr = cluster_units(jnp.array(pts), batch, valid, group, units,
+                               cap, r, k, 8, 64, 64, half_space=True,
+                               edge_cap=0, grid_cell=r)
+            np.testing.assert_array_equal(np.asarray(gr.point_cluster),
+                                          np.asarray(w1.point_cluster))
+            np.testing.assert_array_equal(np.asarray(gr.sizes),
+                                          np.asarray(w1.sizes))
+
+    def test_grid_m2_matches_edge(self):
+        """m=2 grid query (cell < radius <= 2 cells) replaces the edge-buffer
+        path: with K large enough that the cap never saturates, the radius
+        graph — and therefore every component and its sizes — must match the
+        edge path exactly (candidate SETS are equal; only enumeration order
+        differs, which CC is invariant to)."""
+        from minsu3d_tpu.model.general_model import make_units_grid
+        from minsu3d_tpu.ops.cluster import cluster_units
+
+        rng = np.random.default_rng(13)
+        pts = np.concatenate([c + rng.normal(0, 0.04, (250, 3))
+                              for c in rng.uniform(0, 3, (6, 3))]).astype(np.float32)
+        n = len(pts)
+        batch = jnp.array(rng.integers(0, 2, n), jnp.int32)
+        valid = jnp.array(rng.random(n) > 0.05)
+        group = jnp.array(rng.integers(0, 3, n), jnp.int32)
+        cap, cell, r = 768, 0.035, 0.06  # r/cell in (1, 2] -> m=2
+        units, _ = make_units_grid(batch, jnp.array(pts), group, valid, cap, cell)
+
+        edge = cluster_units(jnp.array(pts), batch, valid, group, units,
+                             cap, r, 64, 16, 64, 64, half_space=True,
+                             edge_cap=64 * cap)
+        gr = cluster_units(jnp.array(pts), batch, valid, group, units,
+                           cap, r, 64, 8, 64, 64, half_space=True,
+                           edge_cap=0, grid_cell=cell)
+        np.testing.assert_array_equal(np.asarray(gr.point_cluster),
+                                      np.asarray(edge.point_cluster))
+        np.testing.assert_array_equal(np.asarray(gr.sizes),
+                                      np.asarray(edge.sizes))
+        assert int(edge.edges_dropped) == 0
+
     def test_unit_compaction_matches_point(self):
         """Unit-granularity compaction (argsort over U rows + point-count
         sizes) must assign the exact cluster ids the point-expanded
