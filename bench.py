@@ -224,15 +224,21 @@ def main() -> None:
         print(f"# WARNING capacity overflow at bench caps: {overflow}",
               file=sys.stderr)
 
-    # warm-up (compile)
-    jax.block_until_ready(fwd(variables, batches[0]))
+    # warm-up (compile). The sync is a VALUE FETCH, not block_until_ready:
+    # the axon tunnel's block_until_ready returns early on some programs
+    # (CLAUDE.md harness note; a SoftGroup run once reported 247 scenes/s),
+    # while fetching a scalar forces the full in-order queue to drain.
+    # (the tiny slice program enqueues AFTER the forwards on the in-order
+    # device queue, so its 4-byte fetch can't complete until they all have)
+    sync = lambda out: np.asarray(out[0][0, :1])
+    sync(fwd(variables, batches[0]))
 
     # timed: host voxelize+collate excluded (pipelined in production); all
     # forwards are enqueued back-to-back and synchronized once, so the device
     # pipeline covers plan build + UNet + clustering + refinement per batch
     t0 = time.perf_counter()
     outs = [fwd(variables, b) for b in batches]
-    jax.block_until_ready(outs)
+    sync(outs[-1])
     dt = time.perf_counter() - t0
 
     scenes_per_sec = n_scenes / dt
@@ -269,9 +275,13 @@ def main() -> None:
         list(_pool_iter(make, 1, workers, 2))  # warm the pool path
         t0 = time.perf_counter()
         outs = [fwd(variables, b) for b in _pool_iter(make, len(batches), workers, 2)]
-        jax.block_until_ready(outs)
+        sync(outs[-1])  # value fetch: block_until_ready can return early here
         dt_pipe = time.perf_counter() - t0
         result["pipeline_scenes_per_sec"] = round(n_scenes / dt_pipe, 3)
+        # this image reaches the TPU through a remote tunnel: every batch's
+        # H2D transfer pays a WAN roundtrip a co-located host would not, so
+        # the steady-state pipeline number is a LOWER bound here
+        result["pipeline_note"] = "includes remote-tunnel H2D per batch"
 
     if os.environ.get("MINSU3D_BENCH_TRAIN"):
         result["train_scenes_per_sec"] = _train_throughput(
@@ -295,12 +305,40 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
     from minsu3d_tpu.data.dataset import GeneralDataset
     from minsu3d_tpu.model.caps import StaticCaps
 
-    cfg = load_config(overrides)
-    ds = GeneralDataset(cfg, "train", scenes=scenes)
+    # remat: recompute residual-block interiors in the backward pass — the
+    # saved (27V, Cin) gathered tables of a batch-4 ScanNet-scale step need
+    # 19.3G vs the chip's 15.7G HBM (numerically identical, tests/test_remat.py)
+    overrides = list(overrides) + ["model.network.remat=true"]
+    cfg0 = load_config(overrides)
+    ds = GeneralDataset(cfg0, "train", scenes=scenes)
+    bs = int(cfg0.data.batch_size)
+    items = [ds[i] for i in range(len(ds))]
+    # size train caps from the ACTUAL augmented batches (same per-level voxel
+    # rule as main(): level-l caps are voxels/2^l, surfaces downsample <2x)
+    n_lv = len(cfg0.model.network.blocks)
+    starts = range(0, len(items) - bs + 1, bs)
+    max_pts = max(sum(items[j]["point_xyz"].shape[0] for j in range(i, i + bs))
+                  for i in starts)
+    max_vox, max_inst = 0, 0
+    for i in starts:
+        max_inst = max(max_inst, sum(int(items[j]["num_instance"])
+                                     for j in range(i, i + bs)))
+        need = 0
+        for lvl in range(n_lv):
+            uniq = 0
+            for j in range(i, i + bs):
+                c = np.asarray(items[j]["voxel_coords"], np.int64) >> lvl
+                uniq += len(np.unique((c[:, 0] << 22) | (c[:, 1] << 11) | c[:, 2]))
+            need = max(need, uniq << lvl)
+        max_vox = max(max_vox, need)
+    cfg = load_config(overrides + [
+        f"data.caps.points={_round_up(max_pts + 1024, 8192)}",
+        f"data.caps.voxels={_round_up(max_vox + 1024, 8192)}",
+        f"data.caps.instances={max(64, max_inst)}",
+        f"data.caps.clusters={16384 * bs}",
+    ])
     caps = shard_caps(cfg, "train")
     plan = plan_spec(cfg, "train")
-    bs = int(cfg.data.batch_size)
-    items = [ds[i] for i in range(len(ds))]
     batches = [device_arrays(collate(items[i:i + bs], caps, plan))
                for i in range(0, len(items) - bs + 1, bs)]
     batches = jax.device_put(batches)
@@ -332,13 +370,17 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state
 
+    # sync by VALUE FETCH of one param scalar — the axon tunnel's
+    # block_until_ready returns early on some programs (see main())
+    sync = lambda st: np.asarray(
+        jax.tree_util.tree_leaves(st[0])[0].ravel()[:1])
     state = (params, batch_stats, opt_state)
     state = step(*state, batches[0], key)  # compile + warm
-    jax.block_until_ready(state)
+    sync(state)
     t0 = time.perf_counter()
     for i, b in enumerate(batches):
         state = step(*state, b, jax.random.fold_in(key, i))
-    jax.block_until_ready(state)
+    sync(state)
     dt = time.perf_counter() - t0
     return round(len(batches) * bs / dt, 3)
 
@@ -394,14 +436,27 @@ def _stage_report(cfg, net, variables, batches, pack, full_per_batch,
     for name, fn, args in timed:
         if args is None:
             args = (b0,) if name == "plan" else (variables, b0)
-        lowered = jax.jit(fn).lower(*args)
-        compiled = lowered.compile()
-        jax.block_until_ready(compiled(*args))  # warm
+        compiled = jax.jit(fn).lower(*args).compile()  # for cost analysis
+        # time a SCALARIZED twin and sync by 4-byte VALUE FETCH
+        # (block_until_ready can return early on the axon tunnel); subtract
+        # the measured fetch roundtrip. The sum must cover EVERY output leaf:
+        # summing only the first let XLA dead-code-eliminate the rest of the
+        # stage (plan/cluster once timed as 0.0000 with absurd rooflines).
+        f_sum = jax.jit(lambda *a: sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(fn(*a))))
+        _ = np.asarray(f_sum(*args))  # compile + warm
+        tiny = jax.jit(lambda x: x + 1)
+        _ = np.asarray(tiny(jnp.zeros(1)))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            _ = np.asarray(tiny(jnp.zeros(1)))
+        rt = (time.perf_counter() - t0) / 4
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            jax.block_until_ready(compiled(*args))
-        t = (time.perf_counter() - t0) / reps
+            _ = np.asarray(f_sum(*args))
+        t = max((time.perf_counter() - t0) / reps - rt, 1e-6)
         stages[name] = {"time_s": t, **_cost(compiled)}
 
     stages["plan"]["note"] = "grid-plan build (sorts + kernel maps)"

@@ -137,6 +137,7 @@ class HAISNet(nn.Module):
     tap_compact: tuple = ()
     blocked_subm: tuple = ()
     zslice_subm: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool,
@@ -151,7 +152,7 @@ class HAISNet(nn.Module):
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
                        self.classes, self.compute_dtype, self.channel_major,
-                       grid=self.dense_grid, name="backbone")(
+                       grid=self.dense_grid, remat=self.remat, name="backbone")(
             vfeats, plan, v2p, batch["point_mask"], train, dense_ctx=dctx)
         if not with_heads:
             return out
@@ -234,6 +235,7 @@ def make_net(cfg, split: str) -> HAISNet:
         tap_compact=gm.tap_compact_cfg(net_cfg),
         blocked_subm=gm.blocked_cfg(net_cfg),
         zslice_subm=bool(net_cfg.get("zslice_subm", False)),
+        remat=bool(net_cfg.get("remat", False)),
     )
 
 

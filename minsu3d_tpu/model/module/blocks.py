@@ -202,6 +202,7 @@ class UBlock(nn.Module):
     depth: int = 0
     cm: bool = False
     grid: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, plan, train: bool) -> jax.Array:
@@ -210,10 +211,18 @@ class UBlock(nn.Module):
             level, valid = plan.masks[self.depth], plan.masks[self.depth]
         else:
             level, valid = plan.levels[self.depth], plan.levels[self.depth].valid
+        # remat: recompute each residual block in the backward pass instead of
+        # saving its interior — the (27V, Cin) gathered neighbor tables each
+        # conv materializes dominate training HBM (a batch-4 ScanNet-scale
+        # step needs 19.3G saved vs the chip's 15.7G; with remat it fits).
+        # Numerically identical: the same ops run in the same order, they just
+        # run twice. Config: model.network.remat.
+        Block = (nn.remat(ResidualBlock, static_argnums=(3,)) if self.remat
+                 else ResidualBlock)
         p0 = self.planes[0]
         for i in range(self.block_reps):
-            x = ResidualBlock(p0, p0, self.compute_dtype, self.cm, self.grid,
-                              name=f"block{i}")(x, level, train)
+            x = Block(p0, p0, self.compute_dtype, self.cm, self.grid,
+                      name=f"block{i}")(x, level, train)
         identity = x
 
         if len(self.planes) > 1:
@@ -229,7 +238,8 @@ class UBlock(nn.Module):
             y = DownConv(p0, p1, self.compute_dtype, self.cm, self.grid,
                          name="conv")(y, down_nbr, p_cap)
             y = UBlock(self.planes[1:], self.block_reps, self.compute_dtype,
-                       self.depth + 1, self.cm, self.grid, name="u")(y, plan, train)
+                       self.depth + 1, self.cm, self.grid, self.remat,
+                       name="u")(y, plan, train)
             y = MaskedBatchNorm(p1, cm=self.cm, name="deconv_bn")(y, p_valid, train)
             y = nn.relu(y)
             y = UpConv(p1, p0, self.compute_dtype, self.cm, self.grid,
@@ -238,8 +248,8 @@ class UBlock(nn.Module):
             x = jnp.concatenate([identity, y], axis=0 if self.cm else -1)
             for i in range(self.block_reps):
                 cin = p0 * 2 if i == 0 else p0
-                x = ResidualBlock(cin, p0, self.compute_dtype, self.cm, self.grid,
-                                  name=f"block_tail{i}")(x, level, train)
+                x = Block(cin, p0, self.compute_dtype, self.cm, self.grid,
+                          name=f"block_tail{i}")(x, level, train)
         return x
 
 
@@ -284,6 +294,7 @@ class Backbone(nn.Module):
     compute_dtype: str | None = None
     cm: bool = False
     grid: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats: jax.Array, plan: GridPlan, v2p: jax.Array,
@@ -302,7 +313,8 @@ class Backbone(nn.Module):
             x = SubmConv(self.input_channel, m, self.compute_dtype, grid=True,
                          name="input_conv")(x, dense_ctx.masks[0])
             x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
-                       self.compute_dtype, 0, grid=True, name="unet")(x, dense_ctx, train)
+                       self.compute_dtype, 0, grid=True, remat=self.remat,
+                       name="unet")(x, dense_ctx, train)
             x = MaskedBatchNorm(m, name="out_bn")(x, dense_ctx.masks[0], train)
             x = nn.relu(x)
             x = dense_grid.gather_from_grid(x, dense_ctx)  # (V, m)
@@ -314,7 +326,8 @@ class Backbone(nn.Module):
             x = SubmConv(self.input_channel, m, self.compute_dtype, self.cm,
                          name="input_conv")(voxel_feats, plan.levels[0])
             x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
-                       self.compute_dtype, 0, self.cm, name="unet")(x, plan, train)
+                       self.compute_dtype, 0, self.cm, remat=self.remat,
+                       name="unet")(x, plan, train)
             x = MaskedBatchNorm(m, cm=self.cm, name="out_bn")(x, plan.levels[0].valid, train)
             x = nn.relu(x)
             if self.cm:

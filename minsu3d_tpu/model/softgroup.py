@@ -225,6 +225,7 @@ class SoftGroupNet(nn.Module):
     tap_compact: tuple = ()
     blocked_subm: tuple = ()
     zslice_subm: bool = False
+    remat: bool = False
 
     @property
     def fg_class_ids(self) -> tuple:
@@ -245,7 +246,7 @@ class SoftGroupNet(nn.Module):
                 if self.dense_grid else None)
         out = Backbone(self.input_channel, self.m, self.blocks, self.block_reps,
                        self.classes, self.compute_dtype, self.channel_major,
-                       grid=self.dense_grid, name="backbone")(
+                       grid=self.dense_grid, remat=self.remat, name="backbone")(
             vfeats, plan, v2p, batch["point_mask"], train, dense_ctx=dctx)
         if not with_heads:
             return out
@@ -322,6 +323,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         tap_compact=gm.tap_compact_cfg(net_cfg),
         blocked_subm=gm.blocked_cfg(net_cfg),
         zslice_subm=bool(net_cfg.get("zslice_subm", False)),
+        remat=bool(net_cfg.get("remat", False)),
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),
     )
 

@@ -1,0 +1,62 @@
+"""model.network.remat must not change training numerics: the backward pass
+recomputes each residual block's interior (the (27V, Cin) gathered neighbor
+tables) instead of saving it — same ops in the same order, run twice — so
+losses, gradients, and batch stats must match the default path. The flag
+exists because a batch-4 ScanNet-scale train step saves 19.3G of activations
+vs the 15.7G HBM of a v5e chip (bench.py train mode runs with it)."""
+
+import jax
+import numpy as np
+
+from helpers import make_batch, tiny_cfg
+from minsu3d_tpu.model import get_model
+from minsu3d_tpu.model.caps import StaticCaps
+
+
+def test_remat_matches_default():
+    cfg_r = tiny_cfg("pointgroup", extra=["model.network.remat=true",
+                                          "model.trainer.precision=float32"])
+    cfg_s = tiny_cfg("pointgroup", extra=["model.trainer.precision=float32"])
+    batch, arrays, items = make_batch(cfg_s, "train", 2, room=2.5)
+    arrays = jax.device_put(arrays)  # numpy inputs can't be tracer-indexed
+    bundle = get_model("PointGroup")
+    caps = StaticCaps.from_cfg(cfg_s, "train")
+    fflags = bundle.forward_flags(cfg_s, 999, True)
+    lflags = bundle.loss_flags(cfg_s, 999)
+
+    key = jax.random.PRNGKey(0)
+    net_s = bundle.make_net(cfg_s, "train")
+    net_r = bundle.make_net(cfg_r, "train")
+    assert net_r.remat and not net_s.remat
+    variables = jax.jit(lambda k, b: net_s.init(
+        {"params": k, "cluster": k}, b, True, True, **fflags))(key, arrays)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    def run(net, cfg):
+        def loss_fn(params):
+            out, mut = net.apply({"params": params, "batch_stats": bstats},
+                                 arrays, True, True, **fflags,
+                                 rngs={"cluster": key}, mutable=["batch_stats"])
+            losses = bundle.losses(cfg, caps, arrays, out, True, **lflags)
+            return sum(losses.values()), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True))(params)
+        return loss, grads, new_bs
+
+    loss_s, grads_s, bs_s = run(net_s, cfg_s)
+    loss_r, grads_r, bs_r = run(net_r, cfg_r)
+
+    np.testing.assert_allclose(float(loss_r), float(loss_s), rtol=1e-5)
+    # the remat'd param tree must be structurally identical (same checkpoint
+    # format either way) and every gradient must match
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(grads_s))
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(grads_r))
+    assert flat_s.keys() == flat_r.keys()
+    for path, leaf in flat_s.items():
+        np.testing.assert_allclose(np.asarray(flat_r[path]), np.asarray(leaf),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(bs_s):
+        np.testing.assert_allclose(
+            np.asarray(dict(jax.tree_util.tree_leaves_with_path(bs_r))[path]),
+            np.asarray(leaf), rtol=1e-5, atol=1e-6, err_msg=str(path))
