@@ -281,7 +281,11 @@ def subm_conv_blocked(feats: jax.Array, level: Level, weight: jax.Array,
             preferred_element_type=jnp.float32, precision=precision)
         return carry, ob
 
-    _, ys = jax.lax.scan(step, 0, (starts, level.blk_li))
+    # unroll=2: two window bodies per scan iteration let XLA software-pipeline
+    # window i+1's dynamic-slice against window i's GEMM (+4% on the real
+    # level-0/1 kernel maps, bit-identical — tools/microbench_unroll.py;
+    # deeper unrolls measured no better)
+    _, ys = jax.lax.scan(step, 0, (starts, level.blk_li), unroll=2)
     out = ys.reshape(v, cout)                             # f32
     if level.fix_src is not None:
         fe = ext_zero(feats)
