@@ -284,9 +284,18 @@ def main() -> None:
         result["pipeline_note"] = "includes remote-tunnel H2D per batch"
 
     if os.environ.get("MINSU3D_BENCH_TRAIN"):
-        result["train_scenes_per_sec"] = _train_throughput(
-            load_config, base_overrides + spec["cluster_overrides"] + env_overrides,
-            scenes, bundle)
+        # a train-bench failure (e.g. HBM exhaustion at a new cap) must not
+        # discard the inference numbers already measured above — record the
+        # error and keep the rest of the result line valid
+        try:
+            result["train_scenes_per_sec"] = _train_throughput(
+                load_config, base_overrides + spec["cluster_overrides"] + env_overrides,
+                scenes, bundle)
+        except Exception as e:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc()
+            result["train_error"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     if os.environ.get("MINSU3D_BENCH_STAGES"):
         _stage_report(cfg, net, variables, batches, pack, dt / len(batches),

@@ -195,8 +195,8 @@ class HAISNet(nn.Module):
         volume, occ, row_cell = gm.clusters_voxelization_dense(
             rows, c.proposals, out["point_features"], batch["point_xyz"],
             self.score_scale, self.score_fullscale, rng)
-        inst_feats = DenseTinyUnet(self.m, self.compute_dtype, name="tiny_unet")(
-            volume, occ, train)
+        inst_feats = DenseTinyUnet(self.m, self.compute_dtype, self.remat,
+                                   name="tiny_unet")(volume, occ, train)
 
         # mask branch on voxels, then devoxelize (reference hais.py:79-81)
         mask_hidden = nn.relu(nn.Dense(self.m, name="mask_branch_0")(inst_feats))

@@ -115,9 +115,18 @@ class DenseTinyUnet(nn.Module):
 
     channel: int
     compute_dtype: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, occ: jax.Array, train: bool) -> jax.Array:
+        # remat: recompute block interiors in the backward pass. The dense
+        # (P, S, S, S, C) volumes XLA saves for the VJP pad badly (a spatial
+        # dim can land on the 128-lane axis: a f32[256,20,20,20,32] relu temp
+        # once padded 7.7x to 1.88G) and OOMed the HAIS/SoftGroup train step
+        # even with the backbone rematted. Numerically identical (same ops,
+        # run twice). Config: model.network.remat, same flag as the backbone.
+        Block = (nn.remat(DenseResidualBlock, static_argnums=(3,)) if self.remat
+                 else DenseResidualBlock)
         c = self.channel
         s = x.shape[1]
         if s % 2:  # pad to even extent for the k2s2 down/up pair
@@ -129,7 +138,7 @@ class DenseTinyUnet(nn.Module):
                        axis=(2, 4, 6))
 
         for i in range(2):
-            x = DenseResidualBlock(c, c, self.compute_dtype, name=f"block{i}")(x, occ, train)
+            x = Block(c, c, self.compute_dtype, name=f"block{i}")(x, occ, train)
         identity = x
 
         y = DenseBN(c, name="conv_bn")(x, occ, train)
@@ -139,7 +148,7 @@ class DenseTinyUnet(nn.Module):
         y = jnp.where(occ2[..., None], y, 0)
 
         for i in range(2):
-            y = DenseResidualBlock(2 * c, 2 * c, self.compute_dtype, name=f"u_block{i}")(y, occ2, train)
+            y = Block(2 * c, 2 * c, self.compute_dtype, name=f"u_block{i}")(y, occ2, train)
 
         y = DenseBN(2 * c, name="deconv_bn")(y, occ2, train)
         y = nn.relu(y)
@@ -150,7 +159,7 @@ class DenseTinyUnet(nn.Module):
         x = jnp.concatenate([identity, y], axis=-1)
         for i in range(2):
             cin = 2 * c if i == 0 else c
-            x = DenseResidualBlock(cin, c, self.compute_dtype, name=f"block_tail{i}")(x, occ, train)
+            x = Block(cin, c, self.compute_dtype, name=f"block_tail{i}")(x, occ, train)
 
         x = DenseBN(c, name="out_bn")(x, occ, train)
         x = nn.relu(x)

@@ -162,7 +162,8 @@ class PointGroupNet(nn.Module):
         volume, occ, row_cell = gm.clusters_voxelization_dense(
             rows, c.proposals, out["point_features"], xyz,
             self.score_scale, self.score_fullscale, rng)
-        sf = DenseTinyUnet(self.m, self.compute_dtype, name="score_net")(volume, occ, train)
+        sf = DenseTinyUnet(self.m, self.compute_dtype, self.remat,
+                           name="score_net")(volume, occ, train)
         row_feats = gm.devoxelize_dense(sf, row_cell)
         prop_feats = segment.roipool(row_feats, rows.prop_id, rows.valid, c.proposals)
         out["proposal_scores"] = nn.Dense(1, name="score_branch")(prop_feats)[:, 0]

@@ -282,7 +282,8 @@ class SoftGroupNet(nn.Module):
         volume, occ, row_cell = gm.clusters_voxelization_dense(
             rows, c.proposals, out["point_features"], batch["point_xyz"],
             self.instance_scale, self.instance_spatial_shape, rng)
-        feats = DenseTinyUnet(self.m, self.compute_dtype, name="tiny_unet")(volume, occ, train)
+        feats = DenseTinyUnet(self.m, self.compute_dtype, self.remat,
+                              name="tiny_unet")(volume, occ, train)
 
         k1 = self.instance_classes + 1
         mask_hidden = nn.relu(nn.Dense(self.m, name="mask_scoring_0")(feats))

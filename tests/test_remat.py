@@ -7,19 +7,26 @@ vs the 15.7G HBM of a v5e chip (bench.py train mode runs with it)."""
 
 import jax
 import numpy as np
+import pytest
 
 from helpers import make_batch, tiny_cfg
 from minsu3d_tpu.model import get_model
 from minsu3d_tpu.model.caps import StaticCaps
 
+MODELS = {"pointgroup": "PointGroup", "hais": "HAIS", "softgroup": "SoftGroup"}
 
-def test_remat_matches_default():
-    cfg_r = tiny_cfg("pointgroup", extra=["model.network.remat=true",
-                                          "model.trainer.precision=float32"])
-    cfg_s = tiny_cfg("pointgroup", extra=["model.trainer.precision=float32"])
+
+# all three models: the flag also remats the dense TinyUnet proposal heads
+# (HAIS/SoftGroup saved-volume VJP once OOMed the train bench with only the
+# backbone rematted), so each model's full train step must stay identical
+@pytest.mark.parametrize("model", list(MODELS))
+def test_remat_matches_default(model):
+    cfg_r = tiny_cfg(model, extra=["model.network.remat=true",
+                                   "model.trainer.precision=float32"])
+    cfg_s = tiny_cfg(model, extra=["model.trainer.precision=float32"])
     batch, arrays, items = make_batch(cfg_s, "train", 2, room=2.5)
     arrays = jax.device_put(arrays)  # numpy inputs can't be tracer-indexed
-    bundle = get_model("PointGroup")
+    bundle = get_model(MODELS[model])
     caps = StaticCaps.from_cfg(cfg_s, "train")
     fflags = bundle.forward_flags(cfg_s, 999, True)
     lflags = bundle.loss_flags(cfg_s, 999)
