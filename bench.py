@@ -283,10 +283,20 @@ def main() -> None:
         # the steady-state pipeline number is a LOWER bound here
         result["pipeline_note"] = "includes remote-tunnel H2D per batch"
 
+    if os.environ.get("MINSU3D_BENCH_STAGES"):
+        try:
+            _stage_report(cfg, net, variables, batches, pack, dt / len(batches),
+                          model_name)
+        except Exception:  # noqa: BLE001 — report is stderr-only, keep the JSON
+            import traceback
+
+            traceback.print_exc()
+
+    # train runs LAST: an HBM exhaustion here (full train step at train caps)
+    # can wedge the chip's allocator for the rest of the process, so nothing
+    # may run after it — and its failure must not discard the inference
+    # numbers already measured above
     if os.environ.get("MINSU3D_BENCH_TRAIN"):
-        # a train-bench failure (e.g. HBM exhaustion at a new cap) must not
-        # discard the inference numbers already measured above — record the
-        # error and keep the rest of the result line valid
         try:
             result["train_scenes_per_sec"] = _train_throughput(
                 load_config, base_overrides + spec["cluster_overrides"] + env_overrides,
@@ -296,10 +306,6 @@ def main() -> None:
 
             traceback.print_exc()
             result["train_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-
-    if os.environ.get("MINSU3D_BENCH_STAGES"):
-        _stage_report(cfg, net, variables, batches, pack, dt / len(batches),
-                      model_name)
     print(json.dumps(result))
 
 

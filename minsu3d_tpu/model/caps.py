@@ -49,6 +49,13 @@ class StaticCaps(NamedTuple):
                                 # ops/dense_grid.py). Voxels beyond it are
                                 # dropped and surfaced as diag grid_dropped
     grid_batch: int = 1         # scenes per shard (the dense grid's B axis)
+    cc_coarsen: int = 0         # >0: after two full-graph CC sweeps, compact
+                                # the distinct cross-root pairs into this many
+                                # edge slots and hook on that list instead of
+                                # the (K, N) table (ops/cluster.py). Pure
+                                # speed knob — labels are bit-identical for
+                                # any value (the final full-graph loop always
+                                # runs to the unique fixpoint)
     bq_grid_max_m: int = 1      # use the direct single-occupancy grid ball
                                 # query (ops/ballquery.py::ball_query_grid)
                                 # when radius <= this many unit-grid cells:
@@ -88,4 +95,5 @@ class StaticCaps(NamedTuple):
             grid_extent=tuple(int(g) for g in (caps.get("grid", None) or ())),
             grid_batch=int(cfg.data.batch_size) if split == "train" else 1,
             bq_grid_max_m=int(caps.get("bq_grid_max_m", 1)),
+            cc_coarsen=int(caps.get("cc_coarsen", 0)),
         )

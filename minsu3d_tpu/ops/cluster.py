@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.Array,
                          group: jax.Array | None = None, max_iters: int = 64,
-                         jumps: int = 2) -> jax.Array:
+                         jumps: int = 2, coarsen: int = 0) -> jax.Array:
     """Min-index labels of connected components.
 
     nbr_idx (N, K) neighbor table (value N = absent), nbr_valid (N, K),
@@ -35,6 +35,16 @@ def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.A
     value; only the sweep count changes. Measured on the bench unit graphs
     (tools/microbench_cc2.py): jumps=2 is fastest (84 ms vs 90 ms at 4
     across both graphs) with no extra sweeps.
+
+    ``coarsen`` > 0 inserts a ROOT-GRAPH acceleration after two full-graph
+    sweeps: by then most edges connect nodes that already share a root, so
+    the distinct cross-root pairs (typically a few % of K*N) are compacted
+    into a ``coarsen``-slot edge list and hooking iterates on that list —
+    each round costs 4 list-sized ops + the jump gathers instead of three
+    (K, N) passes. Also a pure speed knob: the final full-graph loop below
+    always runs to the same unique fixpoint, so labels are bit-identical
+    with any value (including an overflowing edge list, which only forfeits
+    the speedup — dropped pairs are re-propagated by the full sweeps).
     """
     n = nbr_idx.shape[0]
     # work transposed: (K, N) keeps N in the minor dim — (N, K) arrays tile
@@ -85,7 +95,43 @@ def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.A
         new = sweep(e)
         return i + 1, new, jnp.all(new == e)
 
-    _, label_e, _ = jax.lax.while_loop(cond, body, (0, sweep(label0), False))
+    e = sweep(label0)
+    if coarsen > 0:
+        e = sweep(e)
+        # cross-root pairs (canonical order) of every still-unmerged edge
+        rv = jnp.where(valid_e, e[nbr_e], n)
+        ru = jnp.broadcast_to(e[None, :], rv.shape)
+        cross = valid_e & (ru != rv)
+        a = jnp.where(cross, jnp.minimum(ru, rv), n).ravel()
+        b = jnp.where(cross, jnp.maximum(ru, rv), n).ravel()
+        # dedupe by lexicographic sort; invalid (n, n) pairs sort last
+        a_s, b_s = jax.lax.sort((a, b), num_keys=2)
+        uniq = ((a_s != jnp.concatenate([jnp.full((1,), -1, a_s.dtype), a_s[:-1]]))
+                | (b_s != jnp.concatenate([jnp.full((1,), -1, b_s.dtype), b_s[:-1]]))
+                ) & (a_s < n)
+        pos = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+        slot = jnp.where(uniq & (pos < coarsen), pos, coarsen)
+        ea = jnp.full((coarsen + 1,), n, jnp.int32).at[slot].set(a_s)[:coarsen]
+        eb = jnp.full((coarsen + 1,), n, jnp.int32).at[slot].set(b_s)[:coarsen]
+
+        def csweep(e):
+            # hooking over the compact list; invalid slots read/write the
+            # n trash cell (e[n] stays n: inactive under the where)
+            ra, rb = e[ea], e[eb]
+            m = jnp.minimum(ra, rb)
+            e2 = e.at[ra].min(m)
+            e2 = e2.at[rb].min(m)
+            for _ in range(jumps):
+                e2 = jnp.minimum(e2, e2[e2])
+            return jnp.where(active_e, e2, n)
+
+        def cbody(state):
+            i, e, _ = state
+            new = csweep(e)
+            return i + 1, new, jnp.all(new == e)
+
+        _, e, _ = jax.lax.while_loop(cond, cbody, (0, csweep(e), False))
+    _, label_e, _ = jax.lax.while_loop(cond, body, (0, sweep(e), False))
     return label_e[:n]
 
 
@@ -137,7 +183,7 @@ def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
 def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
                    group: jax.Array | None, radius: float, k: int, window: int,
                    c_cap: int, max_iters: int = 64, half_space: bool = False,
-                   edge_cap: int = 0) -> Clusters:
+                   edge_cap: int = 0, coarsen: int = 0) -> Clusters:
     """ball_query + connected_components + compaction in one call."""
     from minsu3d_tpu.ops.ballquery import ball_query, ball_query_edge
 
@@ -149,7 +195,8 @@ def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
         nbr_idx, nbr_valid = ball_query(coords, batch, active, radius, k, window,
                                         half_space=half_space, group=group)
         dropped = jnp.int32(0)
-    label = connected_components(nbr_idx, nbr_valid, active, group, max_iters)
+    label = connected_components(nbr_idx, nbr_valid, active, group, max_iters,
+                                 coarsen=coarsen)
     return compact_labels(label, active, c_cap)._replace(edges_dropped=dropped)
 
 
@@ -232,7 +279,8 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                   group: jax.Array | None, unit_id: jax.Array, u_cap: int,
                   radius: float, k: int, window: int, c_cap: int,
                   max_iters: int = 64, half_space: bool = False,
-                  edge_cap: int = 0, grid_cell: float = 0.0) -> Clusters:
+                  edge_cap: int = 0, grid_cell: float = 0.0,
+                  coarsen: int = 0) -> Clusters:
     """Connected components at unit granularity (TPU-first redesign).
 
     The reference BFS-clusters raw points; at 2cm voxels and a 3cm ball
@@ -269,7 +317,8 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
         nbr_idx, nbr_valid = ball_query(u_coords, u_batch, u_active, radius, k, window,
                                         half_space=half_space, group=u_group)
         dropped = jnp.int32(0)
-    u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters)
+    u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters,
+                                   coarsen=coarsen)
 
     # unit labels are unit indices; offset into a point-label namespace is not
     # needed — compact_labels only requires distinct ids per cluster

@@ -113,6 +113,22 @@ class TestBallQueryCC:
             members = np.flatnonzero(got == lab)
             assert len(np.unique(ref[members])) == 1, "clusters merged"
 
+    def test_cc_coarsen_bit_identical(self):
+        """Root-graph coarsening is a pure speed knob: labels must be
+        bit-identical to the default path for ANY cap — ample (all cross
+        pairs fit), tight, and overflowing (dropped pairs are re-propagated
+        by the final full-graph loop)."""
+        pts, batch, valid = self._setup(seed=11, n=400, blobs=7)
+        group = (np.arange(len(pts)) * 7 % 3).astype(np.int32)
+        for g in (None, jnp.array(group)):
+            idx, ok = ball_query(jnp.array(pts), jnp.array(batch),
+                                 jnp.array(valid), 0.05, 12, 16, group=g)
+            base = np.asarray(connected_components(idx, ok, jnp.array(valid), g))
+            for cap in (4096, 64, 4):
+                got = np.asarray(connected_components(
+                    idx, ok, jnp.array(valid), g, coarsen=cap))
+                np.testing.assert_array_equal(got, base, err_msg=f"cap={cap}")
+
     def test_cc_respects_group_and_batch(self):
         pts = np.array([[0, 0, 0], [0.01, 0, 0], [0.02, 0, 0], [0.03, 0, 0]], np.float32)
         batch = jnp.array([0, 0, 0, 0], jnp.int32)
