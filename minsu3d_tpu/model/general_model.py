@@ -90,14 +90,19 @@ def build_scene_plan(batch: dict, caps: list[int], num_levels: int,
     if blocked:
         from minsu3d_tpu.ops import sparse_conv
 
+        # blocked + zslice together = blocked z-run windows: 9 three-row
+        # column gathers per output instead of 27 rows, realigned in VMEM
+        # (sparse_conv.add_block_meta_z); blocked alone = 27-row windows
+        add_meta = (sparse_conv.add_block_meta_z if zslice
+                    else sparse_conv.add_block_meta)
         levels = []
         for lvl, level in enumerate(plan.levels):
             halo = int(blocked[lvl]) if lvl < len(blocked) else 0
             if halo > 0:
-                level = sparse_conv.add_block_meta(level, halo)
+                level = add_meta(level, halo)
             levels.append(level)
         plan = sparse.GridPlan(levels=tuple(levels))
-    if zslice:
+    elif zslice:
         from minsu3d_tpu.ops import sparse_conv
 
         plan = sparse.GridPlan(levels=tuple(

@@ -95,6 +95,8 @@ class SubmConv(nn.Module):
             return dense_grid.subm_conv_grid(x, level, w, self.compute_dtype)
         if self.cm:
             return sparse_conv.subm_conv_cm(x, level, w, self.compute_dtype)
+        if level.blk_zb is not None:  # blocked z-run window kernel map
+            return sparse_conv.subm_conv_blocked_z(x, level, w, self.compute_dtype)
         if level.z_base is not None:  # z-run slice kernel map (bit-identical)
             return sparse_conv.subm_conv_zslice(x, level, w, self.compute_dtype)
         if level.blk_li is not None:  # blocked halo-window kernel map

@@ -73,6 +73,14 @@ class Level(NamedTuple):
     #                                         (cap = column empty)
     z_pos: Optional[jax.Array] = None       # (V, 9, 3) window row of tap dz
     #                                         (0..2; 3 = tap absent)
+    # blocked z-run kernel map (sparse_conv.add_block_meta_z): the z-run
+    # structure above, rebased to per-block halo windows — each window gathers
+    # 9 three-row column slices per output instead of 27 single rows, with
+    # the same beyond-halo fixup list as blk_li (fields shared).
+    blk_zb: Optional[jax.Array] = None      # (nblk, B, 9) window-local run
+    #                                         base; sentinel B+2H+2 = zero
+    blk_zp: Optional[jax.Array] = None      # (nblk, B, 9, 3) int8 window row
+    #                                         of tap dz (0..2; 3 = absent)
 
     @property
     def cap(self) -> int:

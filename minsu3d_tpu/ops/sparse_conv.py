@@ -303,6 +303,122 @@ def subm_conv_blocked(feats: jax.Array, level: Level, weight: jax.Array,
     return out.astype(feats.dtype)
 
 
+# -- blocked z-run submanifold conv --------------------------------------------
+#
+# Combines the two structures above: blocked halo windows turn the conv's HBM
+# traffic into streams, and WITHIN each window the z-run property (the up-to-3
+# dz neighbors of a (dx, dy) column occupy consecutive table rows — see the
+# z-run slice section below) cuts the gathered rows from 27 to 9 per output.
+# The standalone z-slice conv LOST 2-4x because its (V, 9, 3, C) aligned
+# tensor materialized in HBM; inside the window scan the slices, selects and
+# reshape all stay in VMEM where the realignment is nearly free. Exact like
+# subm_conv_blocked: beyond-halo pairs go to the same fixup list.
+
+
+def add_block_meta_z(level: Level, halo: int, block: int | None = None,
+                     fix_cap: int | None = None) -> Level:
+    """Attach blocked z-run conv metadata to a level (see add_block_meta)."""
+    cap = level.cap
+    if block is None:
+        block = next((b for b in (4096, 2048, 1024, 512, 256, 128, 64)
+                      if cap % b == 0), 0)
+    if not block or cap % block or level.nbr_idx is None:
+        return level
+    if fix_cap is None:
+        fix_cap = max(cap // 32, 1024)
+    s = block + 2 * halo
+    m = level.nbr_idx.reshape(cap, 9, 3)                  # taps k = 3*o + dz
+    base = jnp.min(m, axis=-1)                            # (V, 9); cap = empty
+    zpos = jnp.where(m < cap, m - base[..., None], 3).astype(jnp.int8)
+    r = jnp.arange(cap, dtype=jnp.int32)
+    bl = base - ((r // block) * block)[:, None] + halo    # window-local base
+    inwin = (base < cap) & (bl >= 0) & (bl < s)
+    # sentinel s + 2 indexes the all-zero fw row (subm_conv_blocked_z)
+    blk_zb = jnp.where(inwin, bl, s + 2).reshape(cap // block, block, 9)
+    blk_zp = zpos.reshape(cap // block, block, 9, 3)
+    # fixup: every PRESENT tap of an out-of-window column (whole columns move
+    # together — their window slice reads zeros)
+    mv = ((m < cap) & ~inwin[..., None]).reshape(-1)
+    pos = jnp.cumsum(mv.astype(jnp.int32)) - 1
+    total = pos[-1] + 1
+    slot = jnp.where(mv & (pos < fix_cap), pos, fix_cap)
+    tgt_all = jnp.broadcast_to(r[:, None], (cap, 27)).reshape(-1)
+    tap_all = jnp.broadcast_to(jnp.arange(27, dtype=jnp.int32)[None, :],
+                               (cap, 27)).reshape(-1)
+    fix_src = jnp.full((fix_cap + 1,), cap, jnp.int32).at[slot].set(
+        jnp.where(mv, m.reshape(-1), cap))[:fix_cap]
+    fix_tgt = jnp.full((fix_cap + 1,), cap, jnp.int32).at[slot].set(
+        jnp.where(mv, tgt_all, cap))[:fix_cap]
+    fix_tap = jnp.full((fix_cap + 1,), 13, jnp.int32).at[slot].set(
+        jnp.where(mv, tap_all, 13))[:fix_cap]
+    return level._replace(
+        blk_zb=blk_zb, blk_zp=blk_zp, blk_halo=jnp.zeros((halo,), jnp.int8),
+        fix_src=fix_src, fix_tgt=fix_tgt, fix_tap=fix_tap,
+        fix_dropped=jnp.maximum(total - fix_cap, 0))
+
+
+def subm_conv_blocked_z(feats: jax.Array, level: Level, weight: jax.Array,
+                        compute_dtype=None) -> jax.Array:
+    """3^3 submanifold conv over blocked z-run windows (add_block_meta_z).
+
+    Same values as :func:`subm_conv` in the same single (B, 27*Cin) x
+    (27*Cin, Cout) f32-accumulated contraction per row: the aligned tensor
+    routes each window column's 3 consecutive rows to their dz taps by exact
+    selects (absent taps select zeros). Bit-identical when the fixup list is
+    empty; fixup rows reassociate exactly like subm_conv_blocked's."""
+    v, cin = feats.shape
+    nblk, block, _ = level.blk_zb.shape
+    halo = level.blk_halo.shape[0]
+    s_win = block + 2 * halo
+    cout = weight.shape[-1]
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype in (None, jnp.float32, "float32") else None)
+    xw = feats if compute_dtype is None else feats.astype(compute_dtype)
+    w2 = weight.reshape(27 * cin, cout)
+    if compute_dtype is not None:
+        w2 = w2.astype(compute_dtype)
+    # slices read rows [s0, s0 + s_win + 2): pad so the last window stays
+    # in bounds (s0 max = cap - block -> needs cap + 2*halo + 2 rows)
+    xp = jnp.pad(xw, ((halo, halo + 2), (0, 0)))
+    starts = jnp.arange(nblk, dtype=jnp.int32) * block
+    zero3 = jnp.zeros((3, cin), xw.dtype)
+
+    def step(carry, si):
+        s0, zb, zp = si
+        sl = jax.lax.dynamic_slice(xp, (s0, 0), (s_win + 2, cin))
+        slz = jnp.concatenate([sl, zero3])                # rows s_win+2.. zero
+        fw = jnp.concatenate([slz[:-2], slz[1:-1], slz[2:]], axis=1)
+        g = fw[zb].reshape(block, 9, 3, cin)              # (B, 9, 3, C)
+        p = zp[..., None]
+        zc = jnp.zeros((1, 1, 1, cin), xw.dtype)
+        aligned = jnp.where(p == 0, g[:, :, 0:1, :],
+                            jnp.where(p == 1, g[:, :, 1:2, :],
+                                      jnp.where(p == 2, g[:, :, 2:3, :], zc)))
+        ob = jax.lax.dot_general(
+            aligned.reshape(block, 27 * cin), w2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        return carry, ob
+
+    _, ys = jax.lax.scan(step, 0, (starts, level.blk_zb, level.blk_zp),
+                         unroll=2)
+    out = ys.reshape(v, cout)                             # f32
+    if level.fix_src is not None:
+        fe = ext_zero(feats)
+        xs = fe[level.fix_src]                            # (F, Cin)
+        wt = weight[level.fix_tap]                        # (F, Cin, Cout)
+        if compute_dtype is not None:
+            xs = xs.astype(compute_dtype)
+            wt = wt.astype(compute_dtype)
+        contrib = jax.lax.dot_general(
+            xs[:, None, :], wt,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision)[:, 0]
+        out = jnp.concatenate([out, jnp.zeros((1, cout), out.dtype)])
+        out = out.at[jnp.minimum(level.fix_tgt, v)].add(contrib)[:v]
+    return out.astype(feats.dtype)
+
+
 # -- z-run slice submanifold conv ----------------------------------------------
 #
 # The voxel table is sorted by (batch, x, y, z) with z in the LEAST

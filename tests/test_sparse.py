@@ -248,6 +248,47 @@ class TestSparseConv:
             feats_v.astype(jnp.bfloat16), lv, w, jnp.bfloat16)).astype(np.float32)
         np.testing.assert_allclose(blk_bf, dense_bf, rtol=0.05, atol=0.05)
 
+    def test_subm_conv_blocked_z_matches_dense(self):
+        """Blocked z-run windows = blocked streaming + 9-column gathers; same
+        single (B, 27*Cin) contraction over the same values, so bit-identical
+        to the dense form when the fixup list is empty."""
+        rng = np.random.default_rng(29)
+        for extent, seed in ((8, 0), (32, 1)):
+            batch, coords = random_voxels(rng, 700, extent=extent, batches=2)
+            n = len(batch)
+            cap = 1024
+            feats = rng.normal(size=(n, 8)).astype(np.float32)
+            plan, _, feats_v = sparse.build_plan(
+                jnp.array(pad(batch, cap)), jnp.array(pad(coords, cap)),
+                jnp.arange(cap) < n, [cap, cap], 2, jnp.array(pad(feats, cap)))
+            level = plan.levels[0]
+            w = jnp.array(rng.normal(size=(27, 8, 5)).astype(np.float32) * 0.2)
+            dense = np.asarray(sparse_conv.subm_conv(feats_v, level, w))
+
+            # halo covering the whole table: fixup empty, result EXACT
+            lv = sparse_conv.add_block_meta_z(level, halo=cap, block=64)
+            assert int(lv.fix_dropped) == 0
+            assert (np.asarray(lv.fix_src) == cap).all()
+            got = np.asarray(sparse_conv.subm_conv_blocked_z(feats_v, lv, w))
+            np.testing.assert_array_equal(got, dense)
+
+            # tiny halo: whole columns spill to the fixup list (all their
+            # present taps, so more pairs than the per-tap blocked form —
+            # give the list ample capacity here); exact values
+            lv2 = sparse_conv.add_block_meta_z(level, halo=4, block=64,
+                                               fix_cap=cap * 27)
+            assert int(lv2.fix_dropped) == 0
+            assert (np.asarray(lv2.fix_src) < cap).any()
+            got2 = np.asarray(sparse_conv.subm_conv_blocked_z(feats_v, lv2, w))
+            np.testing.assert_allclose(got2, dense, rtol=1e-5, atol=1e-5)
+
+            # bf16 compute path
+            dense_bf = np.asarray(sparse_conv.subm_conv(
+                feats_v.astype(jnp.bfloat16), level, w, jnp.bfloat16)).astype(np.float32)
+            z_bf = np.asarray(sparse_conv.subm_conv_blocked_z(
+                feats_v.astype(jnp.bfloat16), lv, w, jnp.bfloat16)).astype(np.float32)
+            np.testing.assert_allclose(z_bf, dense_bf, rtol=0.05, atol=0.05)
+
     def test_subm_conv_zslice_matches_dense(self):
         """z-run slice conv is BIT-identical to the dense gather form: the
         table is sorted (batch, x, y, z) with z minor, so each (dx, dy)
@@ -533,8 +574,9 @@ def test_backbone_tap_compact_matches_dense():
 
 def test_backbone_blocked_matches_dense():
     """Full Backbone forward on a plan carrying blocked-window kernel maps
-    must reproduce the dense-plan outputs bit-for-bit when the halos cover
-    every pair (and the fixup path keeps it exact regardless)."""
+    (plain 27-row and blocked z-run variants) must reproduce the dense-plan
+    outputs bit-for-bit when the halos cover every pair (and the fixup path
+    keeps it exact regardless)."""
     import jax
     from helpers import tiny_cfg, make_batch
     from minsu3d_tpu.model import general_model as gm
@@ -547,7 +589,10 @@ def test_backbone_blocked_matches_dense():
     plan, v2p, vfeats = gm.build_scene_plan(arrays, caps[:n_levels], n_levels)
     plan_blk, _, _ = gm.build_scene_plan(arrays, caps[:n_levels], n_levels,
                                          blocked=(64,) * n_levels)
+    plan_bz, _, _ = gm.build_scene_plan(arrays, caps[:n_levels], n_levels,
+                                        blocked=(64,) * n_levels, zslice=True)
     assert any(lv.blk_li is not None for lv in plan_blk.levels)
+    assert any(lv.blk_zb is not None for lv in plan_bz.levels)
     assert int(gm.plan_tap_dropped(plan_blk)) == 0
 
     net = Backbone(input_channel=6, output_channel=cfg.model.network.m,
@@ -557,6 +602,9 @@ def test_backbone_blocked_matches_dense():
                          arrays["point_mask"], False)
     out_dense = net.apply(variables, vfeats, plan, v2p, arrays["point_mask"], False)
     out_blk = net.apply(variables, vfeats, plan_blk, v2p, arrays["point_mask"], False)
+    out_bz = net.apply(variables, vfeats, plan_bz, v2p, arrays["point_mask"], False)
     for k in out_dense:
         np.testing.assert_allclose(np.asarray(out_blk[k]), np.asarray(out_dense[k]),
                                    rtol=2e-4, atol=2e-4, err_msg=k)
+        np.testing.assert_allclose(np.asarray(out_bz[k]), np.asarray(out_dense[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"bz:{k}")
