@@ -28,6 +28,7 @@ output/bench_stages.json.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -354,10 +355,13 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
     ])
     caps = shard_caps(cfg, "train")
     plan = plan_spec(cfg, "train")
-    batches = [device_arrays(collate(items[i:i + bs], caps, plan))
-               for i in range(0, len(items) - bs + 1, bs)]
-    batches = jax.device_put(batches)
-    jax.block_until_ready(batches)
+    n_batches = len(range(0, len(items) - bs + 1, bs))
+    # stage ONE batch and reuse it every step: the HAIS/SoftGroup step's
+    # compiled temps alone are ~13.5G of the chip's 15.7G HBM
+    # (tools/probe_train_mem.py), so a second staged batch tips it over —
+    # and the step's device cost does not depend on the input values
+    batch0 = jax.device_put(device_arrays(collate(items[:bs], caps, plan)))
+    jax.block_until_ready(batch0)
 
     net = bundle.make_net(cfg, "train")
     scaps = StaticCaps.from_cfg(cfg, "train")
@@ -365,7 +369,7 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
     lf = bundle.loss_flags(cfg, 999)
     key = jax.random.PRNGKey(0)
     variables = jax.jit(lambda k, b: net.init(
-        {"params": k, "cluster": k}, b, True, True, **ff))(key, batches[0])
+        {"params": k, "cluster": k}, b, True, True, **ff))(key, batch0)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = optax.adam(float(cfg.model.optimizer.lr))
@@ -378,7 +382,9 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
         losses = bundle.losses(cfg, scaps, batch, out, True, **lf)
         return sum(losses.values()), mut["batch_stats"]
 
-    @jax.jit
+    # donate params/batch_stats/opt_state: outputs alias arguments, saving
+    # the ~0.5G of double-buffered state the tight HAIS/SoftGroup step needs
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, batch, rng):
         (_, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, batch, rng)
@@ -390,14 +396,14 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
     sync = lambda st: np.asarray(
         jax.tree_util.tree_leaves(st[0])[0].ravel()[:1])
     state = (params, batch_stats, opt_state)
-    state = step(*state, batches[0], key)  # compile + warm
+    state = step(*state, batch0, key)  # compile + warm
     sync(state)
     t0 = time.perf_counter()
-    for i, b in enumerate(batches):
-        state = step(*state, b, jax.random.fold_in(key, i))
+    for i in range(n_batches):
+        state = step(*state, batch0, jax.random.fold_in(key, i))
     sync(state)
     dt = time.perf_counter() - t0
-    return round(len(batches) * bs / dt, 3)
+    return round(n_batches * bs / dt, 3)
 
 
 def _stage_report(cfg, net, variables, batches, pack, full_per_batch,
