@@ -365,8 +365,13 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
 
     net = bundle.make_net(cfg, "train")
     scaps = StaticCaps.from_cfg(cfg, "train")
-    ff = bundle.forward_flags(cfg, 999, True)
-    lf = bundle.loss_flags(cfg, 999)
+    # MINSU3D_BENCH_TRAIN_EPOCH selects which epoch's gate state to measure:
+    # the default (999) opens every gate (clustering + ScoreNet in the step,
+    # the steady state after prepare_epochs); 0 measures the prepare phase
+    # (semantic + offset losses only), the reference's first cfg epochs
+    bench_epoch = int(os.environ.get("MINSU3D_BENCH_TRAIN_EPOCH", "999"))
+    ff = bundle.forward_flags(cfg, bench_epoch, True)
+    lf = bundle.loss_flags(cfg, bench_epoch)
     key = jax.random.PRNGKey(0)
     variables = jax.jit(lambda k, b: net.init(
         {"params": k, "cluster": k}, b, True, True, **ff))(key, batch0)

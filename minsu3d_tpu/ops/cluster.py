@@ -131,6 +131,13 @@ def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.A
             return i + 1, new, jnp.all(new == e)
 
         _, e, _ = jax.lax.while_loop(cond, cbody, (0, csweep(e), False))
+        # seed the confirm loop with done = (sweep changed nothing): when the
+        # coarsen list captured every cross-root pair (the common case), ONE
+        # full-graph sweep verifies the fixpoint instead of two — labels are
+        # identical, only the sweep count changes
+        nxt = sweep(e)
+        _, label_e, _ = jax.lax.while_loop(cond, body, (1, nxt, jnp.all(nxt == e)))
+        return label_e[:n]
     _, label_e, _ = jax.lax.while_loop(cond, body, (0, sweep(e), False))
     return label_e[:n]
 
