@@ -31,6 +31,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import signal
 import sys
 import time
 
@@ -263,6 +264,20 @@ def main() -> None:
     else:
         result["checkpoint"] = ckpt
 
+    # a driver timeout (SIGTERM) during the optional slow phases below
+    # (pipeline / stages / train, each a fresh compile through the remote
+    # tunnel) must not discard the device numbers already measured above —
+    # emit them stamped "partial" on the way out
+    def _emit_partial(signum, frame):  # noqa: ARG001
+        out = dict(result)
+        out["partial"] = True
+        out["partial_reason"] = f"killed by signal {signum} mid-run"
+        print(json.dumps(out), flush=True)
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _emit_partial)
+    signal.signal(signal.SIGINT, _emit_partial)
+
     if os.environ.get("MINSU3D_BENCH_PIPELINE"):
         # steady-state with the host input pipeline in the loop: re-collate
         # every batch through the num_workers pool (voxelize is precomputed by
@@ -307,6 +322,8 @@ def main() -> None:
 
             traceback.print_exc()
             result["train_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.default_int_handler)
     print(json.dumps(result))
 
 
@@ -329,6 +346,8 @@ def _train_throughput(load_config, overrides, scenes, bundle) -> float:
     ds = GeneralDataset(cfg0, "train", scenes=scenes)
     bs = int(cfg0.data.batch_size)
     items = [ds[i] for i in range(len(ds))]
+    if len(items) < bs:  # fewer bench scenes than one train batch: tile them
+        items = (items * bs)[:bs]
     # size train caps from the ACTUAL augmented batches (same per-level voxel
     # rule as main(): level-l caps are voxels/2^l, surfaces downsample <2x)
     n_lv = len(cfg0.model.network.blocks)
