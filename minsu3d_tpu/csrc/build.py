@@ -19,6 +19,26 @@ def build() -> str:
     return out
 
 
+def ensure_built(quiet: bool = True) -> bool:
+    """Build the host lib if absent (a fresh checkout has no .so — round-4's
+    driver bench silently fell back to on-device plan builds, costing ~30%
+    of the headline: plan 105 ms of a 471 ms scene). Returns availability."""
+    from minsu3d_tpu.csrc import native
+
+    if native.available():
+        return True
+    try:
+        out = build()
+        if quiet:
+            print(f"# built native host lib: {out}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — graceful fallback to device plans
+        print(f"# WARNING native host lib build failed ({e}); "
+              "falling back to on-device plan builds", file=sys.stderr)
+        return False
+    native._TRIED = False  # retry the load now that the .so exists
+    return native.available()
+
+
 if __name__ == "__main__":
     path = build()
     sys.path.insert(0, os.path.join(HERE, "..", ".."))

@@ -34,8 +34,11 @@ def hierarchical_aggregation(clus: Clusters, shifted: jax.Array, batch_ids: jax.
                              p_cap: int, use_set_aggr: bool) -> ProposalRows:
     """Split clusters into fragment/kept/primary by class-relative size and
     absorb fragments into nearest primaries (hierarchical_aggregation.cpp:43-78,
-    .cu:20-91). Returns proposal membership rows (2 per point: kept-path and
-    primary-path — a kept fragment can also be absorbed, as in the reference).
+    .cu:20-91). Returns (proposal membership rows, primaries_dropped) — rows
+    hold 2 entries per point: kept-path and primary-path (a kept fragment can
+    also be absorbed, as in the reference); primaries_dropped counts primaries
+    beyond the compact-table capacity, which silently lose absorption (every
+    other capacity in the codebase surfaces its drops — this one must too).
     """
     c_cap = clus.sizes.shape[0]
     n = shifted.shape[0]
@@ -77,6 +80,8 @@ def hierarchical_aggregation(clus: Clusters, shifted: jax.Array, batch_ids: jax.
         # overflow would only ever DISABLE absorption into the dropped
         # primaries, and p_cap overflow already surfaces via n_proposals).
         p2 = min(c_cap, 512)
+        n_primary = jnp.sum(primary.astype(jnp.int32))
+        primaries_dropped = jnp.maximum(n_primary - p2, 0)
         pr_rank = jnp.cumsum(primary.astype(jnp.int32)) - 1
         slot = jnp.where(primary & (pr_rank < p2), pr_rank, p2)
         centers_p = jnp.zeros((p2 + 1, 3), jnp.float32).at[slot].set(centers)[:p2]
@@ -103,6 +108,7 @@ def hierarchical_aggregation(clus: Clusters, shifted: jax.Array, batch_ids: jax.
                               jnp.where(absorbed, prop_p[nearest], p_cap))
     else:
         prim_path = prim_prop
+        primaries_dropped = jnp.int32(0)
 
     kept_ext = jnp.concatenate([kept_prop, jnp.full((1,), p_cap, jnp.int32)])
     prim_ext = jnp.concatenate([prim_path, jnp.full((1,), p_cap, jnp.int32)])
@@ -114,7 +120,7 @@ def hierarchical_aggregation(clus: Clusters, shifted: jax.Array, batch_ids: jax.
         prop_id=jnp.concatenate([jnp.minimum(pid1, p_cap), jnp.minimum(pid2, p_cap)]),
         valid=jnp.concatenate([pid1 < p_cap, pid2 < p_cap]),
         n_proposals=n_props,
-    )
+    ), primaries_dropped
 
 
 class HAISNet(nn.Module):
@@ -137,7 +143,7 @@ class HAISNet(nn.Module):
     tap_compact: tuple = ()
     blocked_subm: tuple = ()
     zslice_subm: bool = False
-    remat: bool = False
+    remat: bool | int = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool,
@@ -176,7 +182,7 @@ class HAISNet(nn.Module):
                                                  c.cluster_units)
             clus = gm.cluster_step(shifted, bids, obj, sem_preds,
                                    self.point_aggr_radius, c, units)
-        rows = hierarchical_aggregation(
+        rows, primaries_dropped = hierarchical_aggregation(
             clus, shifted, bids, sem_preds, obj,
             jnp.array(self.point_num_avg, jnp.float32),
             jnp.array(self.radius_avg, jnp.float32),
@@ -185,7 +191,8 @@ class HAISNet(nn.Module):
         out["diag"] = {"units_dropped": units_dropped,
                        "voxels_dropped": gm.plan_dropped(plan),
                        "edges_dropped": clus.edges_dropped,
-                       "clusters_dropped": clus.clusters_dropped}
+                       "clusters_dropped": clus.clusters_dropped,
+                       "primaries_dropped": primaries_dropped}
         if self.tap_compact or self.blocked_subm:
             out["diag"]["tap_dropped"] = gm.plan_tap_dropped(plan)
         if dctx is not None:
@@ -235,7 +242,7 @@ def make_net(cfg, split: str) -> HAISNet:
         tap_compact=gm.tap_compact_cfg(net_cfg),
         blocked_subm=gm.blocked_cfg(net_cfg),
         zslice_subm=bool(net_cfg.get("zslice_subm", False)),
-        remat=bool(net_cfg.get("remat", False)),
+        remat=net_cfg.get("remat", False),  # bool, or int n = remat n shallowest levels
     )
 
 

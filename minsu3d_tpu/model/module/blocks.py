@@ -218,8 +218,13 @@ class UBlock(nn.Module):
         # conv materializes dominate training HBM (a batch-4 ScanNet-scale
         # step needs 19.3G saved vs the chip's 15.7G; with remat it fits).
         # Numerically identical: the same ops run in the same order, they just
-        # run twice. Config: model.network.remat.
-        Block = (nn.remat(ResidualBlock, static_argnums=(3,)) if self.remat
+        # run twice. Config: model.network.remat — true/false, or an INT n to
+        # remat only the n SHALLOWEST levels: level-l voxel caps halve per
+        # level, so the shallow levels hold nearly all the saved-table HBM
+        # while deep levels recompute for almost no memory return.
+        r = self.remat
+        use_remat = r if isinstance(r, bool) else self.depth < int(r)
+        Block = (nn.remat(ResidualBlock, static_argnums=(3,)) if use_remat
                  else ResidualBlock)
         p0 = self.planes[0]
         for i in range(self.block_reps):

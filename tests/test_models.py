@@ -63,8 +63,10 @@ def test_hais_aggregation_semantics():
     pna = jnp.full(20, 100.0)
     ra = jnp.full(20, 1.0)
 
-    rows = hierarchical_aggregation(clus, jnp.array(shifted), bid, sem, active,
-                                    pna, ra, 16, use_set_aggr=True)
+    rows, primaries_dropped = hierarchical_aggregation(
+        clus, jnp.array(shifted), bid, sem, active, pna, ra, 16,
+        use_set_aggr=True)
+    assert int(primaries_dropped) == 0
     n_props = int(rows.n_proposals)
     assert n_props == 2  # kept(20) + primary(100)
     pid = np.asarray(rows.prop_id)
@@ -76,6 +78,29 @@ def test_hais_aggregation_semantics():
     pid2, valid2 = pid[n:], valid[n:]
     assert set(pid2[valid2]) == {1}
     assert valid2[:100].all() and valid2[100:120].all() and not valid2[120:].any()
+
+
+def test_hais_primaries_dropped_counter():
+    """Primaries beyond the 512-slot compact table are COUNTED, not silent."""
+    from minsu3d_tpu.model.hais import hierarchical_aggregation
+    from minsu3d_tpu.ops.cluster import Clusters
+
+    c_cap, n_primary = 600, 520
+    n = c_cap  # one point per cluster
+    pc = np.arange(n, dtype=np.int32)
+    shifted = np.random.default_rng(0).normal(0, 1, (n, 3)).astype(np.float32)
+    sizes = np.ones(c_cap, np.int32)
+    clus = Clusters(point_cluster=jnp.array(pc), sizes=jnp.array(sizes),
+                    valid=jnp.arange(c_cap) < n_primary,
+                    count=jnp.int32(n_primary))
+    sem = jnp.full(n, 3, jnp.int32)
+    bid = jnp.zeros(n, jnp.int32)
+    active = jnp.arange(n) < n_primary
+    # class mean 1.0 -> high = 0.3: every size-1 valid cluster is a primary
+    _, primaries_dropped = hierarchical_aggregation(
+        clus, jnp.array(shifted), bid, sem, active,
+        jnp.full(20, 1.0), jnp.full(20, 1.0), 1024, use_set_aggr=True)
+    assert int(primaries_dropped) == n_primary - 512
 
 
 def test_softgroup_grouping_merges_classes():

@@ -121,8 +121,8 @@ class TestOracleHAIS:
         # synthetic objects have ~600 pts; set class means so they are primaries
         pna = jnp.full(20, 600.0, jnp.float32)
         ra = jnp.full(20, 0.3, jnp.float32)
-        rows = H.hierarchical_aggregation(clus, shifted, bids, sem_preds, obj,
-                                          pna, ra, caps.proposals, use_set_aggr=True)
+        rows, _ = H.hierarchical_aggregation(clus, shifted, bids, sem_preds, obj,
+                                             pna, ra, caps.proposals, use_set_aggr=True)
         n_inst = int(batch["num_instance"])
         assert int(rows.n_proposals) >= n_inst
 

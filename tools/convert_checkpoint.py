@@ -300,8 +300,11 @@ def main() -> None:
     batch = device_arrays(collate([ds[0]], shard_caps(cfg, "val")))
     net = get_model(model_name).make_net(cfg, "val")
     key = jax.random.PRNGKey(0)
-    variables = jax.jit(lambda k, b: net.init({"params": k, "cluster": k}, b, False, True))(key, batch)
-    variables = jax.tree.map(np.asarray, variables)
+    # the template only provides leaf SHAPES (convert_tree fills every leaf
+    # from the torch state_dict), so abstract evaluation suffices — a real
+    # init would compile the full production forward just to be thrown away
+    variables = jax.eval_shape(
+        lambda k, b: net.init({"params": k, "cluster": k}, b, False, True), key, batch)
 
     state_dict = load_torch_state_dict(in_path)
     converted, consumed = convert_tree(model_name, variables, state_dict, tap_order)

@@ -13,6 +13,10 @@ from minsu3d_tpu.util.env import setup_jax_cache
 
 setup_jax_cache()
 
+from minsu3d_tpu.csrc.build import ensure_built
+
+ensure_built()  # host grid-plan builder (.so absent on a fresh checkout)
+
 from minsu3d_tpu.config import load_config
 from minsu3d_tpu.data.datamodule import DataModule
 from minsu3d_tpu.trainer import Trainer
