@@ -56,6 +56,9 @@ class StaticCaps(NamedTuple):
                                 # speed knob — labels are bit-identical for
                                 # any value (the final full-graph loop always
                                 # runs to the unique fixpoint)
+    cc_coarsen_sweeps: int = 2  # full-graph sweeps before the coarse pair
+                                # extraction; 1 trades a bigger pair list for
+                                # one fewer (K, N) sweep. Labels identical.
     bq_grid_max_m: int = 1      # use the direct single-occupancy grid ball
                                 # query (ops/ballquery.py::ball_query_grid)
                                 # when radius <= this many unit-grid cells:
@@ -96,4 +99,5 @@ class StaticCaps(NamedTuple):
             grid_batch=int(cfg.data.batch_size) if split == "train" else 1,
             bq_grid_max_m=int(caps.get("bq_grid_max_m", 1)),
             cc_coarsen=int(caps.get("cc_coarsen", 0)),
+            cc_coarsen_sweeps=int(caps.get("cc_coarsen_sweeps", 2)),
         )

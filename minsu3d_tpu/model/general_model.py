@@ -234,11 +234,13 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
                              caps.clusters, caps.cc_iters,
                              half_space=caps.half_space,
                              edge_cap=0 if grid_direct else ef * u_cap,
-                             grid_cell=grid_direct, coarsen=caps.cc_coarsen)
+                             grid_cell=grid_direct, coarsen=caps.cc_coarsen,
+                             coarsen_sweeps=caps.cc_coarsen_sweeps)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
                           half_space=caps.half_space,
-                          edge_cap=ef * coords.shape[0], coarsen=caps.cc_coarsen)
+                          edge_cap=ef * coords.shape[0], coarsen=caps.cc_coarsen,
+                          coarsen_sweeps=caps.cc_coarsen_sweeps)
 
 
 def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.Array,
                          group: jax.Array | None = None, max_iters: int = 64,
-                         jumps: int = 2, coarsen: int = 0) -> jax.Array:
+                         jumps: int = 2, coarsen: int = 0,
+                         coarsen_sweeps: int = 2) -> jax.Array:
     """Min-index labels of connected components.
 
     nbr_idx (N, K) neighbor table (value N = absent), nbr_valid (N, K),
@@ -36,15 +37,17 @@ def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.A
     (tools/microbench_cc2.py): jumps=2 is fastest (84 ms vs 90 ms at 4
     across both graphs) with no extra sweeps.
 
-    ``coarsen`` > 0 inserts a ROOT-GRAPH acceleration after two full-graph
-    sweeps: by then most edges connect nodes that already share a root, so
-    the distinct cross-root pairs (typically a few % of K*N) are compacted
-    into a ``coarsen``-slot edge list and hooking iterates on that list —
-    each round costs 4 list-sized ops + the jump gathers instead of three
-    (K, N) passes. Also a pure speed knob: the final full-graph loop below
-    always runs to the same unique fixpoint, so labels are bit-identical
+    ``coarsen`` > 0 inserts a ROOT-GRAPH acceleration after ``coarsen_sweeps``
+    full-graph sweeps: by then most edges connect nodes that already share a
+    root, so the distinct cross-root pairs (typically a few % of K*N) are
+    compacted into a ``coarsen``-slot edge list and hooking iterates on that
+    list — each round costs 4 list-sized ops + the jump gathers instead of
+    three (K, N) passes. Also a pure speed knob: the final full-graph loop
+    below always runs to the same unique fixpoint, so labels are bit-identical
     with any value (including an overflowing edge list, which only forfeits
     the speedup — dropped pairs are re-propagated by the full sweeps).
+    ``coarsen_sweeps=1`` extracts one (K, N) sweep earlier — a larger pair
+    list (hooking has merged less), traded against a saved full sweep.
     """
     n = nbr_idx.shape[0]
     # work transposed: (K, N) keeps N in the minor dim — (N, K) arrays tile
@@ -97,7 +100,8 @@ def connected_components(nbr_idx: jax.Array, nbr_valid: jax.Array, active: jax.A
 
     e = sweep(label0)
     if coarsen > 0:
-        e = sweep(e)
+        for _ in range(max(coarsen_sweeps - 1, 0)):
+            e = sweep(e)
         # cross-root pairs (canonical order) of every still-unmerged edge
         rv = jnp.where(valid_e, e[nbr_e], n)
         ru = jnp.broadcast_to(e[None, :], rv.shape)
@@ -190,7 +194,8 @@ def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
 def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
                    group: jax.Array | None, radius: float, k: int, window: int,
                    c_cap: int, max_iters: int = 64, half_space: bool = False,
-                   edge_cap: int = 0, coarsen: int = 0) -> Clusters:
+                   edge_cap: int = 0, coarsen: int = 0,
+                   coarsen_sweeps: int = 2) -> Clusters:
     """ball_query + connected_components + compaction in one call."""
     from minsu3d_tpu.ops.ballquery import ball_query, ball_query_edge
 
@@ -203,7 +208,7 @@ def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
                                         half_space=half_space, group=group)
         dropped = jnp.int32(0)
     label = connected_components(nbr_idx, nbr_valid, active, group, max_iters,
-                                 coarsen=coarsen)
+                                 coarsen=coarsen, coarsen_sweeps=coarsen_sweeps)
     return compact_labels(label, active, c_cap)._replace(edges_dropped=dropped)
 
 
@@ -287,7 +292,7 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                   radius: float, k: int, window: int, c_cap: int,
                   max_iters: int = 64, half_space: bool = False,
                   edge_cap: int = 0, grid_cell: float = 0.0,
-                  coarsen: int = 0) -> Clusters:
+                  coarsen: int = 0, coarsen_sweeps: int = 2) -> Clusters:
     """Connected components at unit granularity (TPU-first redesign).
 
     The reference BFS-clusters raw points; at 2cm voxels and a 3cm ball
@@ -325,7 +330,7 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                                         half_space=half_space, group=u_group)
         dropped = jnp.int32(0)
     u_label = connected_components(nbr_idx, nbr_valid, u_active, u_group, max_iters,
-                                   coarsen=coarsen)
+                                   coarsen=coarsen, coarsen_sweeps=coarsen_sweeps)
 
     # unit labels are unit indices; offset into a point-label namespace is not
     # needed — compact_labels only requires distinct ids per cluster

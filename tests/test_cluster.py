@@ -125,9 +125,12 @@ class TestBallQueryCC:
                                  jnp.array(valid), 0.05, 12, 16, group=g)
             base = np.asarray(connected_components(idx, ok, jnp.array(valid), g))
             for cap in (4096, 64, 4):
-                got = np.asarray(connected_components(
-                    idx, ok, jnp.array(valid), g, coarsen=cap))
-                np.testing.assert_array_equal(got, base, err_msg=f"cap={cap}")
+                for sweeps in (1, 2, 3):
+                    got = np.asarray(connected_components(
+                        idx, ok, jnp.array(valid), g, coarsen=cap,
+                        coarsen_sweeps=sweeps))
+                    np.testing.assert_array_equal(
+                        got, base, err_msg=f"cap={cap} sweeps={sweeps}")
 
     def test_cc_respects_group_and_batch(self):
         pts = np.array([[0, 0, 0], [0.01, 0, 0], [0.02, 0, 0], [0.03, 0, 0]], np.float32)
