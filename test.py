@@ -30,6 +30,8 @@ def main(overrides: list[str]) -> None:
     metrics = trainer.test(print_result=True)
     print(f"Semantic Accuracy: {metrics['semantic_accuracy']}")
     print(f"Semantic mean IoU: {metrics['semantic_mean_iou']}")
+    # end-to-end wall clock incl. collate/H2D/host NMS+RLE (one-deep pipeline)
+    print(f"Eval scenes/s (wall): {metrics['eval_scenes_per_sec_wall']}")
 
 
 if __name__ == "__main__":
