@@ -199,12 +199,18 @@ def make_units_grid(batch_ids: jax.Array, coords: jax.Array, group: jax.Array,
 
 def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
                  u_cap: int | None = None, edge_factor: int | None = None,
-                 grid_cell: float = 0.0):
+                 grid_cell: float = 0.0, big_thre: int = 1):
     """Dispatch point- or unit-granularity clustering per StaticCaps.
 
     ``edge_factor`` overrides ``caps.edge_factor`` (edge-buffer slots per
     point/unit) for this clustering — the original-coordinate grid needs far
     fewer slots than the shifted grid (see StaticCaps.edge_factor_xyz).
+
+    ``big_thre``: components below this point count don't register in
+    ``clusters_dropped`` when they fall off the size-ranked cluster cap —
+    pass the consumer's own size filter (e.g. PointGroup's
+    cluster_npoint_thre) so the overflow counter tracks only
+    accuracy-affecting drops (see ops/cluster.py::compact_labels).
 
     ``grid_cell`` declares that ``unit_id`` came from make_units_grid with
     this cell size. When it EQUALS the query radius, every ball-query hash
@@ -235,12 +241,14 @@ def cluster_step(coords, batch_ids, active, group, radius, caps, unit_id=None,
                              half_space=caps.half_space,
                              edge_cap=0 if grid_direct else ef * u_cap,
                              grid_cell=grid_direct, coarsen=caps.cc_coarsen,
-                             coarsen_sweeps=caps.cc_coarsen_sweeps)
+                             coarsen_sweeps=caps.cc_coarsen_sweeps,
+                             big_thre=big_thre)
     return cluster_points(coords, batch_ids, active, group, radius,
                           caps.neighbors, caps.window, caps.clusters, caps.cc_iters,
                           half_space=caps.half_space,
                           edge_cap=ef * coords.shape[0], coarsen=caps.cc_coarsen,
-                          coarsen_sweeps=caps.cc_coarsen_sweeps)
+                          coarsen_sweeps=caps.cc_coarsen_sweeps,
+                          big_thre=big_thre)
 
 
 def get_segmented_scores(scores: jax.Array, fg_thresh: float, bg_thresh: float) -> jax.Array:

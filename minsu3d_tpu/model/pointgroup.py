@@ -131,7 +131,8 @@ class PointGroupNet(nn.Module):
         # when the unit grid matches the query radius.
         clus = gm.cluster_step(xyz, bids, obj, sem_preds, self.cluster_radius,
                                c, units, edge_factor=c.edge_factor_xyz or None,
-                               grid_cell=c.xyz_grid_cell)
+                               grid_cell=c.xyz_grid_cell,
+                               big_thre=self.cluster_npoint_thre)
         if c.shifted_units:
             s_cell = c.shifted_grid_cell or self.voxel_size
             units_s, us_dropped = gm.make_units_grid(
@@ -140,10 +141,12 @@ class PointGroupNet(nn.Module):
             clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
                                          self.cluster_radius, c, units_s,
                                          u_cap=c.cluster_units_shifted,
-                                         grid_cell=s_cell)
+                                         grid_cell=s_cell,
+                                         big_thre=self.cluster_npoint_thre)
         else:
             clus_shift = gm.cluster_step(shifted, bids, obj, sem_preds,
-                                         self.cluster_radius, c, units)
+                                         self.cluster_radius, c, units,
+                                         big_thre=self.cluster_npoint_thre)
         rows, props_dropped = merge_clusterings(
             [clus, clus_shift], [self.cluster_npoint_thre] * 2, xyz.shape[0], c.proposals)
         out["proposal_rows"] = rows

@@ -28,7 +28,7 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
                   point_mask: jax.Array, fg_class_ids: tuple, score_thr: float,
                   radius: float, npoint_thr: float, point_num_avg: jax.Array,
                   min_npoint: int, max_proposal_num: int, caps: StaticCaps,
-                  p2v: jax.Array | None = None):
+                  p2v: jax.Array | None = None, big_thre: int = 1):
     """Per-class thresholded clustering merged across classes
     (reference softgroup.py:38-83 + sg_bfs_cluster O3). Returns (rows, diag)."""
     n = shifted.shape[0]
@@ -44,7 +44,8 @@ def soft_grouping(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: jax.Arr
         if p2v is not None and caps.unit_clustering:
             units, dropped = gm.make_units(p2v, jnp.zeros_like(p2v), active,
                                            caps.cluster_units)
-        clus = gm.cluster_step(shifted, batch_ids, active, None, radius, caps, units)
+        clus = gm.cluster_step(shifted, batch_ids, active, None, radius, caps,
+                               units, big_thre=big_thre)
         # class-size-relative threshold (bfs_cluster.cpp:56-187)
         thr = npoint_thr * point_num_avg[class_id]
         ok = clus.valid & (clus.sizes.astype(jnp.float32) >= thr)
@@ -87,7 +88,8 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
                          radius: float, npoint_thr: float, point_num_avg: jax.Array,
                          min_npoint: int, max_proposal_num: int, caps: StaticCaps,
                          p2v: jax.Array, pair_cap: int,
-                         voxel_size: float = 0.02) -> ProposalRows:
+                         voxel_size: float = 0.02,
+                         big_thre: int = 1) -> ProposalRows:
     """Packed soft grouping: ONE clustering over (point, class) pairs.
 
     The reference loops ballquery+BFS once per foreground class
@@ -143,7 +145,8 @@ def soft_grouping_packed(sem_softmax: jax.Array, shifted: jax.Array, batch_ids: 
         units, units_dropped = gm.make_units(p2v[pair_point], pair_class,
                                              pair_valid, caps.cluster_units)
     clus = gm.cluster_step(pcoords, pbatch, pair_valid, pair_class,
-                           radius, caps, units, u_cap=u_cap, grid_cell=s_cell)
+                           radius, caps, units, u_cap=u_cap, grid_cell=s_cell,
+                           big_thre=big_thre)
 
     # per-cluster class + class-size-relative threshold (bfs_cluster.cpp:56-187)
     c_cap = caps.clusters
@@ -254,6 +257,13 @@ class SoftGroupNet(nn.Module):
         c = self.caps
         sem_softmax = jax.nn.softmax(out["semantic_scores"], axis=-1)
         shifted = batch["point_xyz"] + jax.lax.stop_gradient(out["point_offsets"])
+        # components below every class's size filter can't become proposals:
+        # don't count them when they fall off the size-ranked cluster cap
+        # (ops/cluster.py::compact_labels big_thre). The per-class thresholds
+        # npoint_thr * point_num_avg[class] are static config; the MIN over
+        # foreground classes is safe for all of them.
+        big = max(int(self.npoint_thr
+                      * min(self.point_num_avg[i] for i in self.fg_class_ids)), 1)
         if self.packed_grouping:
             rows, diag = soft_grouping_packed(
                 jax.lax.stop_gradient(sem_softmax), shifted, batch["vert_batch_ids"],
@@ -261,7 +271,7 @@ class SoftGroupNet(nn.Module):
                 self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
                 self.min_npoint, self.max_proposal_num, c, batch["p2v"],
                 pair_cap=2 * batch["point_xyz"].shape[0],
-                voxel_size=self.voxel_size)
+                voxel_size=self.voxel_size, big_thre=big)
         else:
             n = batch["point_xyz"].shape[0]
             r_cap = min(n * len(self.fg_class_ids), 2 * n)
@@ -270,7 +280,7 @@ class SoftGroupNet(nn.Module):
                 batch["point_mask"], self.fg_class_ids, self.score_thr, self.radius,
                 self.npoint_thr, jnp.array(self.point_num_avg, jnp.float32),
                 self.min_npoint, self.max_proposal_num, c, p2v=batch["p2v"],
-                r_cap=r_cap)
+                r_cap=r_cap, big_thre=big)
         out["proposal_rows"] = rows
         out["diag"] = {**diag, "voxels_dropped": gm.plan_dropped(plan)}
         if self.tap_compact or self.blocked_subm:

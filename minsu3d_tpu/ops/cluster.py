@@ -157,7 +157,8 @@ class Clusters(NamedTuple):
     clusters_dropped: jax.Array | int = 0  # components beyond the C capacity
 
 
-def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
+def compact_labels(label: jax.Array, active: jax.Array, c_cap: int,
+                   big_thre: int = 1) -> Clusters:
     """Renumber CC labels to dense ids [0, C), LARGEST components first.
 
     Size-priority matters when components overflow ``c_cap``: noise points
@@ -166,6 +167,17 @@ def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
     object clusters — the round-2 PointGroup synthetic-AP gap traced to
     exactly this (tools/diag_pointgroup.py). Ties break by representative
     label (deterministic). Overflow is surfaced in ``clusters_dropped``.
+
+    ``big_thre``: only components of >= this many points count as dropped.
+    Consumers that filter clusters below a size threshold anyway (PointGroup's
+    cluster_npoint_thre, reference pointgroup.py:70-73 via merge_clusterings)
+    lose nothing when a SUB-threshold component falls off the size-ranked
+    cap, so counting those as accuracy-affecting overflow forced absurdly
+    conservative capacities (16384/scene at bench config). Size ranking makes
+    the count exact: every >= big_thre component outranks every smaller one,
+    so dropped-big = max(n_big - c_cap, 0). Default 1 = every component
+    counts (HAIS absorbs sub-threshold fragments instead of discarding them,
+    so its callers keep the strict count).
     """
     n = label.shape[0]
     order = jnp.argsort(jnp.where(active, label, n))
@@ -187,15 +199,17 @@ def compact_labels(label: jax.Array, active: jax.Array, c_cap: int) -> Clusters:
     sizes = jnp.zeros((c_cap + 1,), jnp.int32).at[point_cluster].add(
         active.astype(jnp.int32))[:c_cap]
     valid = jnp.arange(c_cap) < jnp.minimum(count, c_cap)
+    n_big = (jnp.sum((seg_sizes >= big_thre).astype(jnp.int32))
+             if big_thre > 1 else count)
     return Clusters(point_cluster, sizes, valid, jnp.minimum(count, c_cap),
-                    clusters_dropped=jnp.maximum(count - c_cap, 0))
+                    clusters_dropped=jnp.maximum(n_big - c_cap, 0))
 
 
 def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
                    group: jax.Array | None, radius: float, k: int, window: int,
                    c_cap: int, max_iters: int = 64, half_space: bool = False,
                    edge_cap: int = 0, coarsen: int = 0,
-                   coarsen_sweeps: int = 2) -> Clusters:
+                   coarsen_sweeps: int = 2, big_thre: int = 1) -> Clusters:
     """ball_query + connected_components + compaction in one call."""
     from minsu3d_tpu.ops.ballquery import ball_query, ball_query_edge
 
@@ -209,7 +223,8 @@ def cluster_points(coords: jax.Array, batch: jax.Array, active: jax.Array,
         dropped = jnp.int32(0)
     label = connected_components(nbr_idx, nbr_valid, active, group, max_iters,
                                  coarsen=coarsen, coarsen_sweeps=coarsen_sweeps)
-    return compact_labels(label, active, c_cap)._replace(edges_dropped=dropped)
+    return compact_labels(label, active, c_cap,
+                          big_thre)._replace(edges_dropped=dropped)
 
 
 def _unit_table(coords: jax.Array, batch: jax.Array, active: jax.Array,
@@ -245,7 +260,8 @@ def _unit_table(coords: jax.Array, batch: jax.Array, active: jax.Array,
 
 def _unit_points_compact(u_label: jax.Array, uid: jax.Array, u_cap: int,
                          n_points: int, c_cap: int,
-                         u_counts: jax.Array | None = None) -> Clusters:
+                         u_counts: jax.Array | None = None,
+                         big_thre: int = 1) -> Clusters:
     """Map unit labels back to points and compact (cluster_units tail).
 
     With ``u_counts`` (per-unit member point counts), compaction runs at UNIT
@@ -259,7 +275,7 @@ def _unit_points_compact(u_label: jax.Array, uid: jax.Array, u_cap: int,
     if u_counts is None:
         ext = jnp.concatenate([u_label, jnp.full((1,), n_points, jnp.int32)])
         point_label = jnp.where(uid < u_cap, ext[jnp.minimum(uid, u_cap)], n_points)
-        return compact_labels(point_label, uid < u_cap, c_cap)
+        return compact_labels(point_label, uid < u_cap, c_cap, big_thre)
 
     u = u_label.shape[0]
     u_active = u_label < u
@@ -283,8 +299,10 @@ def _unit_points_compact(u_label: jax.Array, uid: jax.Array, u_cap: int,
     point_cluster = jnp.where(uid < u_cap, cid_ext[jnp.minimum(uid, u_cap)], c_cap)
     sizes = jnp.zeros((c_cap + 1,), jnp.int32).at[unit_cid].add(u_counts)[:c_cap]
     valid = jnp.arange(c_cap) < jnp.minimum(count, c_cap)
+    n_big = (jnp.sum((seg_sizes >= big_thre).astype(jnp.int32))
+             if big_thre > 1 else count)
     return Clusters(point_cluster, sizes, valid, jnp.minimum(count, c_cap),
-                    clusters_dropped=jnp.maximum(count - c_cap, 0))
+                    clusters_dropped=jnp.maximum(n_big - c_cap, 0))
 
 
 def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
@@ -292,7 +310,8 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
                   radius: float, k: int, window: int, c_cap: int,
                   max_iters: int = 64, half_space: bool = False,
                   edge_cap: int = 0, grid_cell: float = 0.0,
-                  coarsen: int = 0, coarsen_sweeps: int = 2) -> Clusters:
+                  coarsen: int = 0, coarsen_sweeps: int = 2,
+                  big_thre: int = 1) -> Clusters:
     """Connected components at unit granularity (TPU-first redesign).
 
     The reference BFS-clusters raw points; at 2cm voxels and a 3cm ball
@@ -335,4 +354,5 @@ def cluster_units(coords: jax.Array, batch: jax.Array, active: jax.Array,
     # unit labels are unit indices; offset into a point-label namespace is not
     # needed — compact_labels only requires distinct ids per cluster
     return _unit_points_compact(u_label, uid, u_cap, coords.shape[0], c_cap,
-                                u_counts=u_counts)._replace(edges_dropped=dropped)
+                                u_counts=u_counts,
+                                big_thre=big_thre)._replace(edges_dropped=dropped)

@@ -156,6 +156,32 @@ class TestBallQueryCC:
         sizes = sorted(np.asarray(clus.sizes)[np.asarray(clus.valid)].tolist())
         assert sizes == [2, 3, 4]
 
+    def test_compact_labels_big_thre_counter(self):
+        # components: sizes 4, 3, 2, 1, 1 — cap 2 keeps the two largest.
+        # big_thre=3: only the size-3+ components count as accuracy-affecting
+        # when dropped, and both fit -> 0 dropped; strict counting sees 3.
+        label = jnp.array([0, 0, 0, 0, 4, 4, 4, 7, 7, 9, 10], jnp.int32)
+        active = jnp.ones(11, bool)
+        strict = compact_labels(label, active, 2)
+        assert int(strict.clusters_dropped) == 3
+        lax_ = compact_labels(label, active, 2, big_thre=3)
+        assert int(lax_.clusters_dropped) == 0
+        # membership/sizes identical regardless of the counter policy
+        np.testing.assert_array_equal(np.asarray(strict.point_cluster),
+                                      np.asarray(lax_.point_cluster))
+        # cap 1 drops one size-3 component: counted under big_thre=3 too
+        assert int(compact_labels(label, active, 1, big_thre=3).clusters_dropped) == 1
+        # unit-granularity compaction counts in POINTS with the same policy
+        from minsu3d_tpu.ops.cluster import _unit_points_compact
+        # 3 units sized [4, 3, 2] points; units 0,1 share a component
+        u_label = jnp.array([0, 0, 2], jnp.int32)
+        uid = jnp.array([0, 0, 0, 0, 1, 1, 1, 2, 2], jnp.int32)
+        u_counts = jnp.array([4, 3, 2], jnp.int32)
+        c = _unit_points_compact(u_label, uid, 3, 9, 1, u_counts, big_thre=3)
+        assert int(c.clusters_dropped) == 0      # dropped comp has 2 < 3 points
+        c = _unit_points_compact(u_label, uid, 3, 9, 1, u_counts, big_thre=2)
+        assert int(c.clusters_dropped) == 1
+
 
 class TestBallQuerySchedules:
     """The fused (N, n_off*W) pass and the fori_loop schedule must agree
