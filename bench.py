@@ -24,6 +24,11 @@ loop) and report the steady-state number in a ``pipeline_scenes_per_sec``
 field. Set MINSU3D_BENCH_STAGES=1 for a per-stage breakdown (time / FLOPs /
 bytes / %-of-roofline from XLA cost analysis) on stderr +
 output/bench_stages.json.
+
+Also measured by default: the 250k-point worst-case scene metric
+(MINSU3D_BENCH_BIG=0 to skip) and the training step in both schedule
+phases on golden weights (MINSU3D_BENCH_TRAIN=0 to skip; see
+``_train_throughput``).
 """
 
 from __future__ import annotations
@@ -100,6 +105,12 @@ def _cluster_prod_overrides(scenes_per_shard: int, unit_scale: float = 1.0) -> l
         # CC components; size-ordered compaction keeps the real clusters but
         # the bench must DROP NOTHING to report a number
         f"data.caps.clusters={_round_up(int(16384 * scenes_per_shard * unit_scale), 1024)}",
+        # proposal axis scales with scene content: the 293k-point worst-case
+        # scenes carry 24 objects x 2 clusterings and overflowed the default
+        # 256-slot cap (big_scene proposals_dropped=100, round 5)
+        f"data.caps.proposals={max(256, _round_up(int(256 * scenes_per_shard * unit_scale), 128))}",
+        f"data.caps.proposal_rows="
+        f"{max(524288, _round_up(int(524288 * scenes_per_shard * unit_scale), 8192))}",
         "data.caps.shifted_units=true",
         f"data.caps.cluster_units_shifted={_round_up(int(40960 * scenes_per_shard * unit_scale), 8192)}",
         "data.caps.cluster_cell_xyz=0.03",

@@ -23,7 +23,7 @@ from minsu3d_tpu.data.synthetic import make_scene  # noqa: E402
 from minsu3d_tpu.model import get_model  # noqa: E402
 from minsu3d_tpu.model.caps import StaticCaps  # noqa: E402
 
-from bench import MODELS, _round_up  # noqa: E402
+from bench import MODELS, _cluster_prod_overrides, _round_up  # noqa: E402
 
 model_name = sys.argv[1] if len(sys.argv) > 1 else "hais"
 spec = MODELS[model_name]
@@ -33,7 +33,8 @@ overrides = [f"model={model_name}", "data=scannetv2",
              "model.network.remat=true"] + spec["cluster_overrides"]
 if len(sys.argv) > 2:
     overrides.append(f"data.batch_size={sys.argv[2]}")
-cfg0 = load_config(overrides)
+extras = sys.argv[3:]   # raw extra overrides, e.g. model.network.remat=2
+cfg0 = load_config(overrides + extras)
 scenes = [make_scene(seed=s, num_objects=12, points_per_object=6000,
                      floor_points=40000, room=8.0) for s in range(8)]
 ds = GeneralDataset(cfg0, "train", scenes=scenes)
@@ -59,8 +60,8 @@ cfg = load_config(overrides + [
     f"data.caps.points={_round_up(max_pts + 1024, 8192)}",
     f"data.caps.voxels={_round_up(max_vox + 1024, 8192)}",
     f"data.caps.instances={max(64, max_inst)}",
-    f"data.caps.clusters={16384 * bs}",
-])
+    # same clustering caps as the train bench; extras LAST so they win
+] + _cluster_prod_overrides(bs) + extras)
 caps = shard_caps(cfg, "train")
 plan = plan_spec(cfg, "train")
 batch = device_arrays(collate(items[:bs], caps, plan))
