@@ -598,9 +598,12 @@ def _train_throughput(load_config, overrides, scenes, bundle,
         # (prepare_epochs backbone-only epochs, then full steps; reference
         # config/model/pointgroup.yaml:14,40 — 496 epochs, 128 prepare): the
         # apples-to-apples number against the 28 h wall-clock anchor
-        extra["train_sched_scenes_per_sec"] = round(
-            total_ep / (prep_ep / p_tps + (total_ep - prep_ep) / tps), 3)
+        sched = total_ep / (prep_ep / p_tps + (total_ep - prep_ep) / tps)
+        extra["train_sched_scenes_per_sec"] = round(sched, 3)
         extra["train_sched_epochs"] = [prep_ep, total_ep]
+        # reference PointGroup trains 28 h / 450+ epochs / 1201 scenes on an
+        # RTX 2080 Ti ~= 5.4 scenes/s schedule average (README.md:206)
+        extra["train_vs_baseline"] = round(sched / 5.4, 3)
     if golden_vars is None:
         extra["invalid"] = True
         extra["invalid_reason"] = ("train bench ran random-init weights "
