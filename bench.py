@@ -464,7 +464,11 @@ def _train_throughput(load_config, overrides, scenes, bundle,
     # saved (27V, Cin) gathered tables of a batch-4 ScanNet-scale step need
     # 19.3G vs the chip's 15.7G HBM (numerically identical, tests/test_remat.py)
     overrides = list(overrides) + ["model.network.remat=true"]
-    cfg0 = load_config(overrides)
+    # env overrides participate in cfg0 too so MINSU3D_BENCH_OVERRIDES can
+    # steer train-only knobs that shape the setup itself (data.batch_size,
+    # model.network.remat=<int|false>) — they are ALSO appended last to the
+    # final cfg below, so they override the computed caps as everywhere else
+    cfg0 = load_config(overrides + list(env_overrides))
     ds = GeneralDataset(cfg0, "train", scenes=scenes)
     bs = int(cfg0.data.batch_size)
     items = [ds[i] for i in range(len(ds))]

@@ -78,6 +78,20 @@ def _bc(vec: jax.Array, cm: bool) -> jax.Array:
     return vec[:, None] if cm else vec
 
 
+def _conv_ckpt(fn, ckpt: bool, *static_argnums):
+    """Wrap a sparse-conv function in jax.checkpoint (conv-granularity remat).
+
+    Unlike nn.remat(ResidualBlock) — which recomputes the whole block
+    interior (both convs' gathers AND GEMMs, batch norms, relus) in the
+    backward — checkpointing the conv alone recomputes just enough of its
+    interior to rebuild the (rows, 27, Cin) gathered neighbor table the
+    backward needs; the forward GEMM is dead code in that recomputation and
+    XLA prunes it. Saved residuals drop from 27x(V, Cin) per conv to the
+    (V, Cin) input, so the train step fits HBM without paying the full
+    block recompute (model.network.remat="conv")."""
+    return jax.checkpoint(fn, static_argnums=static_argnums) if ckpt else fn
+
+
 class SubmConv(nn.Module):
     """3^3 stride-1 sparse conv (ME.MinkowskiConvolution k3 s1)."""
 
@@ -86,6 +100,7 @@ class SubmConv(nn.Module):
     compute_dtype: str | None = None
     cm: bool = False
     grid: bool = False
+    ckpt: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, level) -> jax.Array:
@@ -94,16 +109,27 @@ class SubmConv(nn.Module):
         if self.grid:  # dense-grid mode: ``level`` is the occupancy mask
             return dense_grid.subm_conv_grid(x, level, w, self.compute_dtype)
         if self.cm:
-            return sparse_conv.subm_conv_cm(x, level, w, self.compute_dtype)
+            return _conv_ckpt(sparse_conv.subm_conv_cm, self.ckpt, 3)(
+                x, level, w, self.compute_dtype)
         if level.blk_zb is not None:  # blocked z-run window kernel map
-            return sparse_conv.subm_conv_blocked_z(x, level, w, self.compute_dtype)
+            return _conv_ckpt(sparse_conv.subm_conv_blocked_z, self.ckpt, 3)(
+                x, level, w, self.compute_dtype)
         if level.z_base is not None:  # z-run slice kernel map (bit-identical)
-            return sparse_conv.subm_conv_zslice(x, level, w, self.compute_dtype)
+            return _conv_ckpt(sparse_conv.subm_conv_zslice, self.ckpt, 3)(
+                x, level, w, self.compute_dtype)
         if level.blk_li is not None:  # blocked halo-window kernel map
+            if self.ckpt:
+                # hand-written gather-form VJP: saves only (x, w) like
+                # jax.checkpoint but the backward is gathers all the way
+                # down (no scan-transpose scatters) — see sparse_conv.py
+                return sparse_conv.subm_conv_blocked_vjp(
+                    x, level, w, self.compute_dtype)
             return sparse_conv.subm_conv_blocked(x, level, w, self.compute_dtype)
         if level.tap_src is not None:  # compact per-tap kernel map attached
-            return sparse_conv.subm_conv_tap(x, level, w, self.compute_dtype)
-        return sparse_conv.subm_conv(x, level, w, self.compute_dtype)
+            return _conv_ckpt(sparse_conv.subm_conv_tap, self.ckpt, 3)(
+                x, level, w, self.compute_dtype)
+        return _conv_ckpt(sparse_conv.subm_conv, self.ckpt, 3, 4)(
+            x, level, w, self.compute_dtype, 27)
 
 
 class Conv1x1(nn.Module):
@@ -131,6 +157,7 @@ class DownConv(nn.Module):
     compute_dtype: str | None = None
     cm: bool = False
     grid: bool = False
+    ckpt: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, child, parent_cap: int = 0) -> jax.Array:
@@ -139,8 +166,10 @@ class DownConv(nn.Module):
         if self.grid:  # dense-grid mode: ``child`` is the PARENT's mask
             return dense_grid.down_conv_grid(x, child, w, self.compute_dtype)
         if self.cm:
-            return sparse_conv.down_conv_cm(x, child, parent_cap, w, self.compute_dtype)
-        return sparse_conv.down_conv(x, child, parent_cap, w, self.compute_dtype)
+            return _conv_ckpt(sparse_conv.down_conv_cm, self.ckpt, 2, 4)(
+                x, child, parent_cap, w, self.compute_dtype)
+        return _conv_ckpt(sparse_conv.down_conv, self.ckpt, 2, 4)(
+            x, child, parent_cap, w, self.compute_dtype)
 
 
 class UpConv(nn.Module):
@@ -151,6 +180,7 @@ class UpConv(nn.Module):
     compute_dtype: str | None = None
     cm: bool = False
     grid: bool = False
+    ckpt: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, child) -> jax.Array:
@@ -159,8 +189,10 @@ class UpConv(nn.Module):
         if self.grid:  # dense-grid mode: ``child`` is the child's mask
             return dense_grid.up_conv_grid(x, child, w, self.compute_dtype)
         if self.cm:
-            return sparse_conv.up_conv_cm(x, child, w, self.compute_dtype)
-        return sparse_conv.up_conv(x, child, w, self.compute_dtype)
+            return _conv_ckpt(sparse_conv.up_conv_cm, self.ckpt, 3)(
+                x, child, w, self.compute_dtype)
+        return _conv_ckpt(sparse_conv.up_conv, self.ckpt, 3)(
+            x, child, w, self.compute_dtype)
 
 
 class ResidualBlock(nn.Module):
@@ -171,6 +203,7 @@ class ResidualBlock(nn.Module):
     compute_dtype: str | None = None
     cm: bool = False
     grid: bool = False
+    ckpt: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, level, train: bool) -> jax.Array:
@@ -183,11 +216,11 @@ class ResidualBlock(nn.Module):
         y = MaskedBatchNorm(self.in_features, cm=self.cm)(x, valid, train)
         y = nn.relu(y)
         y = SubmConv(self.in_features, self.out_features, self.compute_dtype,
-                     self.cm, self.grid)(y, level)
+                     self.cm, self.grid, self.ckpt)(y, level)
         y = MaskedBatchNorm(self.out_features, cm=self.cm)(y, valid, train)
         y = nn.relu(y)
         y = SubmConv(self.out_features, self.out_features, self.compute_dtype,
-                     self.cm, self.grid)(y, level)
+                     self.cm, self.grid, self.ckpt)(y, level)
         return y + identity
 
 
@@ -222,13 +255,18 @@ class UBlock(nn.Module):
         # remat only the n SHALLOWEST levels: level-l voxel caps halve per
         # level, so the shallow levels hold nearly all the saved-table HBM
         # while deep levels recompute for almost no memory return.
+        # remat="conv": checkpoint each CONV instead of each block — the
+        # backward recomputes only the gathered neighbor tables (the memory
+        # hog), while BN/relu/GEMM outputs stay saved (see _conv_ckpt).
         r = self.remat
-        use_remat = r if isinstance(r, bool) else self.depth < int(r)
+        ckpt = r == "conv"
+        use_remat = (False if ckpt
+                     else r if isinstance(r, bool) else self.depth < int(r))
         Block = (nn.remat(ResidualBlock, static_argnums=(3,)) if use_remat
                  else ResidualBlock)
         p0 = self.planes[0]
         for i in range(self.block_reps):
-            x = Block(p0, p0, self.compute_dtype, self.cm, self.grid,
+            x = Block(p0, p0, self.compute_dtype, self.cm, self.grid, ckpt,
                       name=f"block{i}")(x, level, train)
         identity = x
 
@@ -242,20 +280,20 @@ class UBlock(nn.Module):
                 down_nbr = level
             y = MaskedBatchNorm(p0, cm=self.cm, name="conv_bn")(x, valid, train)
             y = nn.relu(y)
-            y = DownConv(p0, p1, self.compute_dtype, self.cm, self.grid,
+            y = DownConv(p0, p1, self.compute_dtype, self.cm, self.grid, ckpt,
                          name="conv")(y, down_nbr, p_cap)
             y = UBlock(self.planes[1:], self.block_reps, self.compute_dtype,
                        self.depth + 1, self.cm, self.grid, self.remat,
                        name="u")(y, plan, train)
             y = MaskedBatchNorm(p1, cm=self.cm, name="deconv_bn")(y, p_valid, train)
             y = nn.relu(y)
-            y = UpConv(p1, p0, self.compute_dtype, self.cm, self.grid,
+            y = UpConv(p1, p0, self.compute_dtype, self.cm, self.grid, ckpt,
                        name="deconv")(y, level)
             # skip connection: ME.cat (common.py:93) — channel axis is 0 in cm
             x = jnp.concatenate([identity, y], axis=0 if self.cm else -1)
             for i in range(self.block_reps):
                 cin = p0 * 2 if i == 0 else p0
-                x = Block(cin, p0, self.compute_dtype, self.cm, self.grid,
+                x = Block(cin, p0, self.compute_dtype, self.cm, self.grid, ckpt,
                           name=f"block_tail{i}")(x, level, train)
         return x
 
@@ -331,6 +369,7 @@ class Backbone(nn.Module):
                 # then runs channel-major (dense tiles, see sparse_conv.py)
                 voxel_feats = voxel_feats.T
             x = SubmConv(self.input_channel, m, self.compute_dtype, self.cm,
+                         ckpt=self.remat == "conv",
                          name="input_conv")(voxel_feats, plan.levels[0])
             x = UBlock(tuple(m * c for c in self.block_channels), self.block_reps,
                        self.compute_dtype, 0, self.cm, remat=self.remat,

@@ -303,6 +303,79 @@ def subm_conv_blocked(feats: jax.Array, level: Level, weight: jax.Array,
     return out.astype(feats.dtype)
 
 
+def subm_conv_blocked_vjp(feats: jax.Array, level: Level, weight: jax.Array,
+                          compute_dtype=None) -> jax.Array:
+    """:func:`subm_conv_blocked` with a hand-written gather-form backward.
+
+    Autodiff of the blocked forward transposes the window scan into
+    scatter-adds (dg rows scattered into halo windows, windows accumulated
+    into the padded table) and saves every window's (B, 27, Cin) gathered
+    table for the weight gradient — the HBM hog that forces block-level
+    remat. This VJP instead:
+
+      * ``dx`` = the SAME blocked conv applied to ``dout`` with the taps
+        flipped and the kernel transposed (``flip(W, 0).swapaxes(1, 2)``) —
+        a 3^3 submanifold conv's transpose is itself a 3^3 submanifold conv
+        with negated offsets (tap k <-> 26-k in KERNEL_OFFSETS order), and
+        the level's own kernel map already classifies every (row, tap) pair
+        from the target row's perspective (window vs fixup), so gathers
+        replace all scatters;
+      * ``dW`` = one window scan that recomputes each gathered table and
+        contracts it with the matching ``dout`` block (plus the fixup pairs'
+        outer products) — residuals are just (feats, weight), nothing 27x.
+
+    Pairs dropped from the fixup list are dropped identically in forward
+    and backward, so these are exact gradients of the computed function.
+    """
+
+    @jax.custom_vjp
+    def f(feats, weight):
+        return subm_conv_blocked(feats, level, weight, compute_dtype)
+
+    def f_fwd(feats, weight):
+        return f(feats, weight), (feats, weight)
+
+    def f_bwd(res, dout):
+        feats, weight = res
+        v, cin = feats.shape
+        cout = weight.shape[-1]
+        nblk, block, _ = level.blk_li.shape
+        halo = level.blk_halo.shape[0]
+        s_win = block + 2 * halo
+        precision = (jax.lax.Precision.HIGHEST
+                     if compute_dtype in (None, jnp.float32, "float32") else None)
+        w_flip = jnp.flip(weight, 0).swapaxes(1, 2)       # (27, Cout, Cin)
+        dx = subm_conv_blocked(dout, level, w_flip,
+                               compute_dtype).astype(feats.dtype)
+        xw = feats if compute_dtype is None else feats.astype(compute_dtype)
+        dyw = dout if compute_dtype is None else dout.astype(compute_dtype)
+        xp = jnp.pad(xw, ((halo, halo + 1), (0, 0)))
+        dy_blk = dyw.reshape(nblk, block, cout)
+        starts = jnp.arange(nblk, dtype=jnp.int32) * block
+        zero = jnp.zeros((1, cin), xw.dtype)
+
+        def step(dw, si):
+            s0, li, dy = si
+            win = jnp.concatenate(
+                [jax.lax.dynamic_slice(xp, (s0, 0), (s_win, cin)), zero])
+            g = win[li]                                   # (B, 27, Cin)
+            return dw + jax.lax.dot_general(
+                g, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision), None
+
+        dw, _ = jax.lax.scan(step, jnp.zeros((27, cin, cout), jnp.float32),
+                             (starts, level.blk_li, dy_blk), unroll=2)
+        if level.fix_src is not None:
+            # beyond-halo pairs: sentinel src/tgt index the appended zero row
+            xs = ext_zero(xw)[level.fix_src].astype(jnp.float32)
+            dt = ext_zero(dyw)[jnp.minimum(level.fix_tgt, v)].astype(jnp.float32)
+            dw = dw.at[level.fix_tap].add(xs[:, :, None] * dt[:, None, :])
+        return dx, dw.astype(weight.dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(feats, weight)
+
+
 # -- blocked z-run submanifold conv --------------------------------------------
 #
 # Combines the two structures above: blocked halo windows turn the conv's HBM

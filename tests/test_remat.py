@@ -113,3 +113,54 @@ def test_selective_remat_matches_default():
     for path, leaf in flat_s.items():
         np.testing.assert_allclose(np.asarray(flat_r[path]), np.asarray(leaf),
                                    rtol=1e-4, atol=1e-5, err_msg=str(path))
+
+
+def test_conv_remat_matches_default():
+    """model.network.remat="conv" checkpoints each sparse CONV instead of each
+    residual block: the backward rebuilds only the gathered neighbor tables
+    (XLA prunes the recomputed GEMM), while BN/relu/GEMM outputs stay saved.
+    Numerics and the param tree must match the unremat'd step exactly."""
+    # blocked_subm on BOTH configs: under remat="conv" the blocked convs take
+    # the hand-written gather-form VJP (sparse_conv.subm_conv_blocked_vjp),
+    # so this also checks that custom backward inside the full train step
+    cfg_r = tiny_cfg("pointgroup", extra=["model.network.remat=conv",
+                                          "model.network.blocked_subm=[256,128,64]",
+                                          "model.trainer.precision=float32"])
+    cfg_s = tiny_cfg("pointgroup", extra=["model.network.blocked_subm=[256,128,64]",
+                                          "model.trainer.precision=float32"])
+    batch, arrays, items = make_batch(cfg_s, "train", 2, room=2.5)
+    arrays = jax.device_put(arrays)
+    bundle = get_model("PointGroup")
+    caps = StaticCaps.from_cfg(cfg_s, "train")
+    fflags = bundle.forward_flags(cfg_s, 999, True)
+    lflags = bundle.loss_flags(cfg_s, 999)
+
+    key = jax.random.PRNGKey(0)
+    net_s = bundle.make_net(cfg_s, "train")
+    net_r = bundle.make_net(cfg_r, "train")
+    assert net_r.remat == "conv"
+    variables = jax.jit(lambda k, b: net_s.init(
+        {"params": k, "cluster": k}, b, True, True, **fflags))(key, arrays)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    def run(net, cfg):
+        def loss_fn(params):
+            out, mut = net.apply({"params": params, "batch_stats": bstats},
+                                 arrays, True, True, **fflags,
+                                 rngs={"cluster": key}, mutable=["batch_stats"])
+            losses = bundle.losses(cfg, caps, arrays, out, True, **lflags)
+            return sum(losses.values()), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True))(params)
+        return loss, grads, new_bs
+
+    loss_s, grads_s, _ = run(net_s, cfg_s)
+    loss_r, grads_r, _ = run(net_r, cfg_r)
+    np.testing.assert_allclose(float(loss_r), float(loss_s), rtol=1e-5)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(grads_s))
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(grads_r))
+    assert flat_s.keys() == flat_r.keys()
+    for path, leaf in flat_s.items():
+        np.testing.assert_allclose(np.asarray(flat_r[path]), np.asarray(leaf),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(path))

@@ -340,6 +340,35 @@ class TestSparseConv:
         lv = sparse_conv.add_block_meta(level, halo=4, block=64, fix_cap=8)
         assert int(lv.fix_dropped) == n_far - 8
 
+    def test_subm_conv_blocked_vjp_matches_autodiff(self):
+        """The hand-written gather-form backward (dx = blocked conv of dout
+        with flipped-transposed taps; dW = window-scan recompute) must match
+        autodiff of the plain dense-tap conv — including pairs that ride the
+        beyond-halo fixup list."""
+        rng = np.random.default_rng(22)
+        batch, coords, feats, plan, r2v, feats_v = self._plan(rng)
+        level = plan.levels[0]
+        w = jnp.array(rng.normal(size=(27, 8, 5)).astype(np.float32) * 0.2)
+        dout_seed = jnp.array(rng.normal(size=(level.cap, 5)).astype(np.float32))
+
+        def loss_ref(f, w):
+            return jnp.sum(sparse_conv.subm_conv(f, level, w) * dout_seed)
+
+        gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(feats_v, w)
+
+        for halo in (level.cap, 4):  # empty fixup list / active fixup list
+            lv = sparse_conv.add_block_meta(level, halo=halo, block=64)
+            assert int(lv.fix_dropped) == 0
+
+            def loss_vjp(f, w, lv=lv):
+                return jnp.sum(sparse_conv.subm_conv_blocked_vjp(f, lv, w) * dout_seed)
+
+            gx, gw = jax.grad(loss_vjp, argnums=(0, 1))(feats_v, w)
+            np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_conv_is_differentiable(self):
         rng = np.random.default_rng(5)
         _, _, feats, plan, _, feats_v = self._plan(rng, n=50, cap=64)
