@@ -460,10 +460,14 @@ def _train_throughput(load_config, overrides, scenes, bundle,
     from minsu3d_tpu.data.dataset import GeneralDataset
     from minsu3d_tpu.model.caps import StaticCaps
 
-    # remat: recompute residual-block interiors in the backward pass — the
-    # saved (27V, Cin) gathered tables of a batch-4 ScanNet-scale step need
-    # 19.3G vs the chip's 15.7G HBM (numerically identical, tests/test_remat.py)
-    overrides = list(overrides) + ["model.network.remat=true"]
+    # remat="conv": conv-granularity rematerialisation — blocked subm convs
+    # take the hand-written gather-form VJP (saves (x, W) instead of the
+    # (27V, Cin) gathered tables; backward is gathers, not scan-transpose
+    # scatters), other convs jax.checkpoint. vs block-level remat=true this
+    # measured prepare 1.148 -> 1.978 scenes/s and steady 0.904 -> 1.204 on
+    # the round-5 chip, and cuts bs=4 PointGroup temps 13.5G -> 6.1G
+    # (tools/probe_train_mem.py; numerically identical, tests/test_remat.py)
+    overrides = list(overrides) + ["model.network.remat=conv"]
     # env overrides participate in cfg0 too so MINSU3D_BENCH_OVERRIDES can
     # steer train-only knobs that shape the setup itself (data.batch_size,
     # model.network.remat=<int|false>) — they are ALSO appended last to the
